@@ -1,0 +1,74 @@
+import os
+
+import numpy as np
+import pytest
+
+from merizo_search_tpu.io import pdb as pdbio
+from merizo_search_tpu.utils.residues import encode_seq, AA_ORDER
+
+
+def test_read_ca_3w5h(examples_dir):
+    d = pdbio.read_ca(os.path.join(examples_dir, "3w5h.pdb"), chain="A")
+    assert d["coords"].dtype == np.float32
+    assert d["coords"].shape[1] == 3
+    assert len(d["seq"]) == len(d["coords"])
+    assert len(d["seq"]) > 100
+    # sequence should be mostly canonical residues
+    frac_x = d["seq"].count("X") / len(d["seq"])
+    assert frac_x < 0.05
+
+
+def test_read_ca_af_model(examples_dir):
+    d = pdbio.read_ca(os.path.join(examples_dir, "AF-Q96HM7-F1-model_v4.pdb"))
+    assert len(d["seq"]) == len(d["coords"])
+    assert "X" not in d["seq"]  # AF models are all-canonical
+
+
+def test_read_ca_missing_chain(examples_dir):
+    with pytest.raises(ValueError):
+        pdbio.read_ca(os.path.join(examples_dir, "3w5h.pdb"), chain="Z")
+
+
+def test_parse_backbone_complete(examples_dir):
+    mol = pdbio.parse_backbone(os.path.join(examples_dir, "AF-Q96HM7-F1-model_v4.pdb"))
+    ca = pdbio.backbone_to_ca(mol)
+    n = pdbio.select_atoms(mol, "n", ["N"])
+    c = pdbio.select_atoms(mol, "n", ["C"])
+    o = pdbio.select_atoms(mol, "n", ["O"])
+    # complete backbone: equal counts of each atom type
+    assert len(ca) == len(n) == len(c) == len(o)
+    assert len(mol) == 4 * len(ca)
+    # sorted by residue index
+    assert np.all(np.diff(ca["resi"]) >= 0)
+
+
+def test_parse_backbone_matches_read_ca_on_clean_model(examples_dir):
+    path = os.path.join(examples_dir, "AF-Q96PD2-F1-model_v4.pdb")
+    mol = pdbio.parse_backbone(path)
+    ca_bb = pdbio.backbone_to_ca(mol)
+    ca_fast = pdbio.read_ca(path)
+    assert len(ca_bb) == len(ca_fast["coords"])
+    np.testing.assert_allclose(pdbio.get_xyz(ca_bb), ca_fast["coords"], atol=1e-3)
+
+
+def test_write_read_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    coords = rng.normal(size=(50, 3)).astype(np.float32) * 10
+    seq = "ACDEFGHIKLMNPQRSTVWY" * 2 + "ACDEFGHIKL"
+    fn = pdbio.write_ca_pdb(str(tmp_path), coords, seq, name="test")
+    d = pdbio.read_ca(fn)
+    assert d["seq"] == seq
+    np.testing.assert_allclose(d["coords"], coords, atol=2e-3)
+
+
+def test_encode_seq():
+    ids = encode_seq(AA_ORDER)
+    assert list(ids) == list(range(20))
+    assert encode_seq("X")[0] == 19  # unknown clamps
+
+
+def test_mol_to_fasta(examples_dir):
+    mol = pdbio.parse_backbone(os.path.join(examples_dir, "AF-Q96HM7-F1-model_v4.pdb"))
+    fasta = pdbio.mol_to_fasta(mol)
+    ca = pdbio.read_ca(os.path.join(examples_dir, "AF-Q96HM7-F1-model_v4.pdb"))
+    assert fasta == ca["seq"]
