@@ -189,6 +189,36 @@ class MmapDBWriter:
 # ---------------------------------------------------------------------------
 # FlatDB facade
 
+def truncate_mmap_db(out_prefix: str, n_entries: int, dim: int = 128,
+                     with_metadata: bool = False) -> None:
+    """Truncate a partially-written mmap DB back to exactly n_entries
+    (crash-recovery for resumable createdb builds)."""
+    d = os.path.dirname(out_prefix) or "."
+    base = os.path.basename(out_prefix)
+
+    def _trunc(path, size):
+        if os.path.exists(path) and os.path.getsize(path) > size:
+            with open(path, "r+b") as fh:
+                fh.truncate(size)
+
+    _trunc(os.path.join(d, base + "_raw_128d_norm.db"), n_entries * dim * 4)
+    _trunc(os.path.join(d, base + "_raw_128d.index_names"), n_entries * NAME_RECORD)
+    pairs = [("_seq.index", "_seq.db"), ("_ca.index", "_ca.db")]
+    if with_metadata:
+        pairs.append(("_metadata.index", "_metadata.db"))
+    for isuf, bsuf in pairs:
+        ipath = os.path.join(d, base + isuf)
+        if not os.path.exists(ipath):
+            continue
+        _trunc(ipath, n_entries * 16)
+        if n_entries > 0:
+            se = np.memmap(ipath, dtype=np.int64, mode="r").reshape(-1, 2)
+            end = int(se[n_entries - 1, 1]) if len(se) >= n_entries else 0
+        else:
+            end = 0
+        _trunc(os.path.join(d, base + bsuf), end)
+
+
 class FlatDB:
     """Uniform read access to either DB layout for the search engine.
 

@@ -1,0 +1,66 @@
+"""Batched Foldclass embedding of variable-length structures.
+
+The reference embeds one structure per forward pass (makedb.py:75-79,
+dbsearch.py:97-98). Here structures are grouped into length buckets and run
+as masked batches, keeping the MXU fed; each distinct bucket shape compiles
+once and is cached.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import jax
+
+from ..models import foldclass as fc
+from ..utils.bucketing import bucket_for, pad_coords, group_by_bucket
+
+logger = logging.getLogger(__name__)
+
+MAX_RES = 2000  # reference truncation at db build (makedb.py:68-69)
+
+
+def load_foldclass_params(weights_path: str | None = None):
+    """Load converted reference weights, or deterministic random init when no
+    checkpoint is available (the reference's trained FINAL_foldclass_model.pt
+    is a stripped blob in this mirror)."""
+    if weights_path:
+        import torch
+
+        sd = torch.load(weights_path, map_location="cpu")
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        return fc.params_from_torch_state_dict(sd)
+    return fc.init_params(jax.random.PRNGKey(0))
+
+
+def _batch_budget(bucket: int) -> int:
+    """Structures per batch for a given bucket length: bound total pair work
+    (B * N^2) at ~8M pairs per dispatch."""
+    return max(1, (1 << 23) // (bucket * bucket))
+
+
+def embed_structures(params, coords_list: list[np.ndarray],
+                     batch_budget=None) -> np.ndarray:
+    """Embed a list of [N_i, 3] float32 CA coordinate arrays -> [n, 128].
+
+    Structures longer than MAX_RES are truncated (parity: makedb.py:68).
+    """
+    n = len(coords_list)
+    out = np.zeros((n, fc.EMBED_DIM), dtype=np.float32)
+    lengths = [min(len(c), MAX_RES) for c in coords_list]
+    groups = group_by_bucket(lengths)
+    for bucket, idxs in sorted(groups.items()):
+        bsz = batch_budget(bucket) if batch_budget else _batch_budget(bucket)
+        for i0 in range(0, len(idxs), bsz):
+            sel = idxs[i0:i0 + bsz]
+            batch = np.zeros((len(sel), bucket, 3), np.float32)
+            mask = np.zeros((len(sel), bucket), np.float32)
+            for bi, si in enumerate(sel):
+                c, m = pad_coords(coords_list[si][:MAX_RES], bucket)
+                batch[bi], mask[bi] = c, m
+            emb = np.asarray(fc.embed(params, batch, mask))
+            for bi, si in enumerate(sel):
+                out[si] = emb[bi]
+    return out

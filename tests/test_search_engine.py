@@ -1,0 +1,135 @@
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from merizo_search_tpu.db import codecs
+from merizo_search_tpu.ops import topk as topk_ops
+from merizo_search_tpu.search.engine import SearchEngine
+
+
+def _make_db(tmp_path, rng, n=500, dim=128, kind="pt"):
+    embs = rng.normal(size=(n, dim)).astype(np.float32)
+    entries = []
+    for i in range(n):
+        ln = int(rng.integers(30, 300))
+        entries.append((f"d{i:05d}", rng.normal(size=(ln, 3)).astype(np.float32),
+                        "A" * ln))
+    prefix = str(tmp_path / f"db_{kind}")
+    if kind == "pt":
+        codecs.write_pt_db(prefix, embs, entries)
+    else:
+        w = codecs.MmapDBWriter(prefix, dim=dim)
+        for (name, ca, seq), e in zip(entries, embs):
+            w.add(name, e, ca, seq)
+        w.finalize()
+    return prefix, embs, entries
+
+
+def _brute_force(q, embs, k):
+    qn = (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(np.float64)
+    en = (embs / np.linalg.norm(embs, axis=1, keepdims=True)).astype(np.float64)
+    s = qn @ en.T
+    idx = np.argsort(-s, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(s, idx, axis=1), idx
+
+
+def _assert_topk_close(vals, idxs, bv, bi, atol=1e-4):
+    """Robust comparison: scores must match to atol; every reference hit whose
+    score clears the k-th score by atol must be present (float32 tie noise at
+    the boundary is allowed to reorder)."""
+    np.testing.assert_allclose(vals, bv, atol=atol)
+    for qi in range(vals.shape[0]):
+        must_have = set(bi[qi][bv[qi] > bv[qi, -1] + atol].tolist())
+        got = set(int(x) for x in idxs[qi])
+        assert must_have <= got, f"query {qi}: missing {must_have - got}"
+
+
+@pytest.mark.parametrize("kind", ["pt", "mmap"])
+def test_exact_topk_matches_bruteforce(tmp_path, rng, kind):
+    prefix, embs, _ = _make_db(tmp_path, rng, n=500, kind=kind)
+    db = codecs.FlatDB.open(prefix)
+    eng = SearchEngine(db, chunk=128)
+    q = rng.normal(size=(7, 128)).astype(np.float32)
+    vals, idxs = eng.search(q, k=10)
+    bv, bi = _brute_force(q, embs, 10)
+    _assert_topk_close(vals, idxs, bv, bi)
+
+
+def test_mincov_length_filter(tmp_path, rng):
+    prefix, embs, entries = _make_db(tmp_path, rng, n=200)
+    db = codecs.FlatDB.open(prefix)
+    eng = SearchEngine(db, chunk=64)
+    q = rng.normal(size=(3, 128)).astype(np.float32)
+    qlen = np.asarray([50, 150, 290])
+    vals, idxs = eng.search(q, k=20, query_lens=qlen, mincov=0.7)
+    lengths = np.asarray([len(e[2]) for e in entries])
+    for qi in range(3):
+        for v, i in zip(vals[qi], idxs[qi]):
+            if i >= 0 and np.isfinite(v):
+                assert qlen[qi] >= lengths[i] * 0.7
+
+
+def test_k_larger_than_db(tmp_path, rng):
+    prefix, embs, _ = _make_db(tmp_path, rng, n=5)
+    db = codecs.FlatDB.open(prefix)
+    eng = SearchEngine(db, chunk=8)
+    q = rng.normal(size=(2, 128)).astype(np.float32)
+    vals, idxs = eng.search(q, k=10)
+    assert vals.shape == (2, 10)
+    assert (idxs[:, 5:] == -1).all()
+    assert np.isfinite(vals[:, :5]).all()
+
+
+def test_mesh_sharded_search(tmp_path, rng):
+    prefix, embs, _ = _make_db(tmp_path, rng, n=1000)
+    db = codecs.FlatDB.open(prefix)
+    devs = np.array(jax.devices()[:8])
+    assert len(devs) == 8, "conftest should provide 8 virtual devices"
+    mesh = Mesh(devs, ("d",))
+    eng = SearchEngine(db, mesh=mesh, chunk=64)
+    q = rng.normal(size=(5, 128)).astype(np.float32)
+    vals, idxs = eng.search(q, k=10)
+    bv, bi = _brute_force(q, embs, 10)
+    _assert_topk_close(vals, idxs, bv, bi)
+
+
+def test_mesh_with_mincov(tmp_path, rng):
+    prefix, embs, entries = _make_db(tmp_path, rng, n=300)
+    db = codecs.FlatDB.open(prefix)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("d",))
+    eng = SearchEngine(db, mesh=mesh, chunk=32)
+    q = rng.normal(size=(2, 128)).astype(np.float32)
+    qlen = np.asarray([100, 250])
+    vals, idxs = eng.search(q, k=15, query_lens=qlen, mincov=0.7)
+    lengths = np.asarray([len(e[2]) for e in entries])
+    # compare against single-device with same masking
+    eng1 = SearchEngine(db, chunk=32)
+    v1, i1 = eng1.search(q, k=15, query_lens=qlen, mincov=0.7)
+    np.testing.assert_allclose(vals, v1, atol=1e-5)
+    np.testing.assert_array_equal(idxs, i1)
+    for qi in range(2):
+        for v, i in zip(vals[qi], idxs[qi]):
+            if i >= 0 and np.isfinite(v):
+                assert qlen[qi] >= lengths[i] * 0.7
+
+
+def test_stream_mode_matches_device(tmp_path, rng):
+    prefix, embs, _ = _make_db(tmp_path, rng, n=700, kind="mmap")
+    db = codecs.FlatDB.open(prefix)
+    eng = SearchEngine(db, chunk=64, max_device_gb=1e-9)  # force streaming
+    assert eng.mode == "stream"
+    eng.stream_block = 150  # several blocks
+    q = rng.normal(size=(4, 128)).astype(np.float32)
+    vals, idxs = eng.search(q, k=12)
+    bv, bi = _brute_force(q, embs, 12)
+    _assert_topk_close(vals, idxs, bv, bi)
+
+
+def test_merge_partials():
+    vals = jnp.asarray([[[3.0, 1.0]], [[2.5, 0.5]]])  # [P=2, Q=1, k=2]
+    idxs = jnp.asarray([[[7, 3]], [[9, 1]]])
+    v, i = topk_ops.merge_partials(vals, idxs, 3)
+    np.testing.assert_allclose(np.asarray(v), [[3.0, 2.5, 1.0]])
+    np.testing.assert_array_equal(np.asarray(i), [[7, 9, 3]])
