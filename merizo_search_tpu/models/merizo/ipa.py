@@ -54,18 +54,15 @@ def _rotary_tables(n_pos: int = N_HEADS, dim: int = C_HIDDEN // 2):
     inv = 1.0 / (10000.0 ** (np.arange(0, dim, 2, dtype=np.float32) / dim))
     freqs = np.einsum("i,j->ij", np.arange(n_pos, dtype=np.float32), inv)
     freqs = np.repeat(freqs, 2, axis=-1)  # [n_pos, dim]
-    return jnp.asarray(np.cos(freqs)), jnp.asarray(np.sin(freqs))
+    return np.cos(freqs), np.sin(freqs)
 
 
-_ROT_COS, _ROT_SIN = None, None
+_ROT_COS, _ROT_SIN = _rotary_tables()
 
 
 def _rotary(x):
     """Rotate the first C_HIDDEN//2 channels of x [B,N,H,C] with per-head
     angles (see module docstring quirk)."""
-    global _ROT_COS, _ROT_SIN
-    if _ROT_COS is None:
-        _ROT_COS, _ROT_SIN = _rotary_tables()
     rot_dim = _ROT_COS.shape[-1]
     t_rot, t_pass = x[..., :rot_dim], x[..., rot_dim:]
     x1 = t_rot[..., 0::2]

@@ -50,6 +50,24 @@ def make_foldclass():
 
 
 def make_merizo():
+    # natsort is not installed in this image; the reference imports it at
+    # module scope. Provide a faithful stand-in (natural sort).
+    try:
+        import natsort  # noqa: F401
+    except ImportError:
+        import re
+        import types
+
+        mod = types.ModuleType("natsort")
+        mod.natsorted = lambda xs: sorted(
+            xs, key=lambda s: [int(p) if p.isdigit() else p for p in re.split(r"(\d+)", s)])
+        sys.modules["natsort"] = mod
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+    except ImportError:
+        pass
+
     # Stub out rotary_embedding_torch if absent (not installed in this image).
     # The stub must faithfully reproduce the lucidrains implementation the
     # reference depends on (rotate_queries_or_keys with default seq_dim=-2,
