@@ -1,0 +1,316 @@
+"""Command-line interface: segment / createdb / search / easy-search.
+
+Parity target: merizo_search/merizo.py:33-443 — same four verbs, same flag
+vocabulary and defaults, same output files — so reference users can switch
+with their existing invocations. TPU-specific additions: --db_format mmap,
+--mesh N (shard the DB over N devices), --weights/--merizo_weights for
+converted checkpoints, --skip_tmalign.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import time
+
+logger = logging.getLogger(__name__)
+
+
+def setup_logging():
+    logging.basicConfig(level=logging.INFO,
+                        format="%(asctime)s | %(levelname)s | %(message)s")
+
+
+def _add_search_flags(p: argparse.ArgumentParser):
+    p.add_argument("-d", "--device", type=str, default=None,
+                   help="JAX platform override (e.g. 'cpu', 'tpu'). Default: auto.")
+    p.add_argument("-k", "--topk", type=int, default=1,
+                   help="Max number of domain matches to return for each query.")
+    p.add_argument("-t", "--threads", type=int, default=-1,
+                   help="CPU threads (accepted for CLI parity; JAX manages its own pool).")
+    p.add_argument("-s", "--mincos", type=float, default=0.5,
+                   help="Min cosine similarity to database matches.")
+    p.add_argument("-m", "--mintm", type=float, default=0.5,
+                   help="Min TM-score to database matches.")
+    p.add_argument("-c", "--mincov", type=float, default=0.7,
+                   help="Min coverage of database matches.")
+    p.add_argument("-f", "--fastmode", action="store_true",
+                   help="Fast mode for TM rescoring (fewer refinement iterations).")
+    p.add_argument("--search_batchsize", type=int, default=262144)
+    p.add_argument("--search_metric", type=str, default="IP",
+                   help="Only 'IP' (cosine) is supported.")
+    p.add_argument("--report_insignificant_hits", action="store_true", default=False)
+    p.add_argument("--metadata_json", action="store_true", default=False)
+    p.add_argument("--output_headers", action="store_true", default=False)
+    p.add_argument("--multi_domain_search", action="store_true", default=False)
+    p.add_argument("--multi_domain_mode", type=str, default="exhaustive_tmalign",
+                   choices=["exhaustive_tmalign"])
+    p.add_argument("--skip_tmalign", action="store_true", default=False,
+                   help="Skip TM rescoring (embedding scores only).")
+    p.add_argument("--mesh", type=int, default=0,
+                   help="Shard the DB across this many devices (0 = single device).")
+    p.add_argument("--weights", type=str, default=None,
+                   help="Path to a converted Foldclass checkpoint (.pt).")
+
+
+def _add_merizo_flags(p: argparse.ArgumentParser):
+    p.add_argument("--merizo_output", type=str, default=os.environ.get("PWD", os.getcwd()))
+    p.add_argument("--save_pdf", action="store_true", default=False)
+    p.add_argument("--save_pdb", action="store_true", default=False)
+    p.add_argument("--save_domains", action="store_true", default=False)
+    p.add_argument("--save_fasta", action="store_true", default=False)
+    p.add_argument("--conf_filter", type=float, default=None)
+    p.add_argument("--plddt_filter", type=float, default=None)
+    p.add_argument("--iterate", action="store_true")
+    p.add_argument("--length_conditional_iterate", action="store_true")
+    p.add_argument("--max_iterations", type=int, default=3)
+    p.add_argument("--shuffle_indices", action="store_true", default=False)
+    p.add_argument("--return_indices", action="store_true", default=False)
+    p.add_argument("--min_domain_size", type=int, default=50)
+    p.add_argument("--min_fragment_size", type=int, default=10)
+    p.add_argument("--domain_ave_size", type=int, default=200)
+    p.add_argument("--conf_threshold", type=float, default=0.5)
+    p.add_argument("--pdb_chain", type=str, default="A")
+    p.add_argument("--merizo_weights", type=str, default=None,
+                   help="Directory with converted Merizo weight shards.")
+
+
+def _apply_device(device: str | None):
+    if device:
+        import jax
+        plat = {"cuda": "tpu", "mps": "cpu"}.get(device, device)
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            logger.warning("could not select platform %r; using default", device)
+
+
+def _mesh(n: int):
+    if not n:
+        return None
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if len(devs) < n:
+        logger.warning("requested mesh of %d devices but only %d available; using %d",
+                       n, len(devs), len(devs))
+        n = len(devs)
+    return Mesh(np.array(devs[:n]), ("d",))
+
+
+def _merizo_kw(args):
+    return dict(
+        iterate=args.iterate,
+        length_conditional_iterate=args.length_conditional_iterate,
+        max_iterations=args.max_iterations,
+        shuffle_indices=args.shuffle_indices,
+        min_domain_size=args.min_domain_size,
+        min_fragment_size=args.min_fragment_size,
+        domain_ave_size=args.domain_ave_size,
+        conf_threshold=args.conf_threshold,
+        save_pdb=args.save_pdb, save_domains=args.save_domains,
+        save_fasta=args.save_fasta, save_pdf=args.save_pdf,
+        return_indices=args.return_indices,
+        conf_filter=args.conf_filter, plddt_filter=args.plddt_filter,
+    )
+
+
+def segment(argv):
+    p = argparse.ArgumentParser(
+        prog="merizo_tpu segment",
+        description="Segment multidomain proteins into domains.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("input", type=str, nargs="+")
+    p.add_argument("output", type=str,
+                   help="Output prefix; results land in <output>_segment.tsv.")
+    p.add_argument("-d", "--device", type=str, default=None)
+    p.add_argument("-t", "--threads", type=int, default=-1)
+    p.add_argument("--output_headers", action="store_true", default=False)
+    _add_merizo_flags(p)
+    args = p.parse_args(argv)
+    _apply_device(args.device)
+
+    from .io.results import write_segment_results
+    from .models.merizo.network import load_merizo_params
+    from .segment.outputs import run_merizo
+
+    out = args.output + "_segment.tsv"
+    if os.path.exists(out):
+        logger.warning("Segment output file '%s' already exists. Results will be overwritten!", out)
+    t0 = time.time()
+    params = load_merizo_params(args.merizo_weights)
+    chains = args.pdb_chain.rstrip(",").split(",")
+    if len(chains) == 1:
+        chains = chains * len(args.input)
+    _, results = run_merizo(params, args.input, pdb_chains=chains,
+                            merizo_output=args.merizo_output, **_merizo_kw(args))
+    write_segment_results(results, out, header=args.output_headers)
+    logger.info("Finished segment in %.3f seconds.", time.time() - t0)
+
+
+def createdb(argv):
+    p = argparse.ArgumentParser(
+        prog="merizo_tpu createdb",
+        description="Embed a directory of PDB files into a Foldclass database.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("input_dir", type=str)
+    p.add_argument("out_db", type=str)
+    p.add_argument("-d", "--device", type=str, default=None)
+    p.add_argument("--db_format", type=str, default="pt", choices=["pt", "mmap"],
+                   help="'pt' = reference small-DB layout; 'mmap' = large resumable layout.")
+    p.add_argument("--resume", action="store_true", default=False)
+    p.add_argument("--weights", type=str, default=None)
+    args = p.parse_args(argv)
+    _apply_device(args.device)
+
+    from .pipeline.createdb import run_createdb
+
+    t0 = time.time()
+    run_createdb(args.input_dir, args.out_db, weights=args.weights,
+                 fmt=args.db_format, resume=args.resume)
+    logger.info("Finished createdb in %.3f seconds.", time.time() - t0)
+
+
+def _do_search(args, inputs, inputs_are_ca, pdb_chain, fields_default):
+    from .io.results import (parse_output_format, write_search_results,
+                             write_all_dom_search_results, check_for_database)
+    from .pipeline.dbsearch import run_dbsearch
+    from .pipeline.multidomain import multi_domain_search
+
+    check_for_database(args.db_name)
+    fields = parse_output_format(args.format, fields_default)
+    search_output = args.output + "_search.tsv"
+    for f, lbl in [(search_output, "Search"),
+                   (args.output + "_search_insignificant.tsv", "Search")]:
+        if os.path.exists(f):
+            logger.warning("%s output file '%s' already exists. Results will be overwritten!", lbl, f)
+
+    results, all_results = run_dbsearch(
+        inputs, args.db_name, topk=args.topk, fastmode=args.fastmode,
+        mincos=args.mincos, mintm=args.mintm, mincov=args.mincov,
+        inputs_are_ca=inputs_are_ca, pdb_chain=pdb_chain,
+        skip_tmalign=args.skip_tmalign, search_batchsize=args.search_batchsize,
+        mesh=_mesh(args.mesh), weights=args.weights)
+
+    write_search_results(results, search_output, fields,
+                         header=args.output_headers, metadata_json=args.metadata_json)
+    if args.report_insignificant_hits:
+        write_search_results(all_results, args.output + "_search_insignificant.tsv",
+                             fields, header=args.output_headers,
+                             metadata_json=args.metadata_json)
+    if args.multi_domain_search:
+        fl = multi_domain_search(
+            inputs, results, args.db_name, fastmode=args.fastmode,
+            mintm=args.mintm, inputs_from_easy_search=inputs_are_ca,
+            mode=args.multi_domain_mode)
+        if fl is not None:
+            write_all_dom_search_results(fl, args.output + "_search_multi_dom.tsv",
+                                         args.output_headers)
+    return results
+
+
+def search(argv):
+    from .io.results import SEARCH_FIELDS
+
+    p = argparse.ArgumentParser(
+        prog="merizo_tpu search",
+        description="Search query PDBs against a Foldclass database.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("input", type=str, nargs="+")
+    p.add_argument("db_name", type=str)
+    p.add_argument("output", type=str)
+    p.add_argument("tmp", type=str, nargs="?", default=None,
+                   help="Accepted for reference-CLI parity; unused (no tmp files needed).")
+    p.add_argument("--format", type=str, default=SEARCH_FIELDS)
+    p.add_argument("--pdb_chain", type=str, default="A")
+    _add_search_flags(p)
+    args = p.parse_args(argv)
+    _apply_device(args.device)
+    t0 = time.time()
+    _do_search(args, args.input, inputs_are_ca=False,
+               pdb_chain=args.pdb_chain, fields_default=SEARCH_FIELDS)
+    logger.info("Finished search in %.3f seconds.", time.time() - t0)
+
+
+def easy_search(argv):
+    from .io.results import SEARCH_FIELDS, EASY_SEARCH_FIELDS, write_segment_results
+
+    p = argparse.ArgumentParser(
+        prog="merizo_tpu easy-search",
+        description="Segment a multidomain chain and search it against a database.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("input", type=str, nargs="+")
+    p.add_argument("db_name", type=str)
+    p.add_argument("output", type=str)
+    p.add_argument("tmp", type=str, nargs="?", default=None,
+                   help="Accepted for reference-CLI parity; unused.")
+    p.add_argument("--format", type=str, default=EASY_SEARCH_FIELDS)
+    _add_search_flags(p)
+    _add_merizo_flags(p)
+    args = p.parse_args(argv)
+    _apply_device(args.device)
+
+    from .models.merizo.network import load_merizo_params
+    from .segment.outputs import run_merizo
+
+    t0 = time.time()
+    seg_out = args.output + "_segment.tsv"
+    if os.path.exists(seg_out):
+        logger.warning("Segment output file '%s' already exists. Results will be overwritten!", seg_out)
+
+    chains = args.pdb_chain.rstrip(",").split(",")
+    if len(chains) == 1:
+        chains = chains * len(args.input)
+
+    params = load_merizo_params(args.merizo_weights)
+    domains, seg_results = run_merizo(params, args.input, pdb_chains=chains,
+                                      merizo_output=args.merizo_output,
+                                      **_merizo_kw(args))
+    write_segment_results(seg_results, seg_out, header=args.output_headers)
+
+    if len(domains) == 0:
+        logger.info("easy-search finished after segmentation. "
+                    "Segmentation of this PDB file was not possible")
+        logger.info("Finished easy-search in %.3f seconds.", time.time() - t0)
+        return
+
+    _do_search(args, domains, inputs_are_ca=True, pdb_chain=None,
+               fields_default=EASY_SEARCH_FIELDS)
+    logger.info("Finished easy-search in %.3f seconds.", time.time() - t0)
+
+
+USAGE = """Usage: python -m merizo_search_tpu.cli <mode> <args>
+    <mode> is one of: 'segment', 'createdb', 'search', or 'easy-search'.
+    Detailed help: python -m merizo_search_tpu.cli <mode> --help
+"""
+
+
+def main(argv=None):
+    setup_logging()
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv:
+        print(USAGE)
+        return
+    mode, rest = argv[0], argv[1:]
+    if mode == "segment":
+        segment(rest)
+    elif mode == "createdb":
+        createdb(rest)
+    elif mode == "search":
+        search(rest)
+    elif mode == "easy-search":
+        easy_search(rest)
+    elif mode in ("-h", "--help"):
+        print(USAGE)
+    else:
+        print("Invalid mode. Please choose one of 'segment', 'createdb', "
+              "'search', or 'easy-search'.")
+        sys.exit(2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,200 @@
+"""Multi-domain (full-length chain) search.
+
+Reference: programs/Foldclass/dbsearch_fulllength.py:183-574. Per-domain hits
+are grouped by query chain; each hit's database neighbourhood is expanded to
+recover all domains of the hit chain (relying on the DB being ordered by
+chain, :354-404); every query-domain x candidate-domain pair is TM-aligned;
+and valid assignments of query domains onto hit-chain domains are enumerated
+and classified into match categories 0-3.
+
+The reference fills the TM-score matrix with a multiprocessing.Pool of
+TM-align subprocesses (:55-92); here the whole matrix is one batched
+align.tmalign call on device.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import re
+from itertools import product
+
+import numpy as np
+
+from ..db.codecs import FlatDB
+from ..io.pdb import read_ca
+from ..align.tmalign import tmalign_pairs
+
+logger = logging.getLogger(__name__)
+
+FIELD_SET_SEP = ","
+FIELD_SEP = ":"
+
+
+def domid2chainid(x: str) -> str:
+    """'cath-dompdb/2pi4A04.pdb' -> '2pi4A'; 'AF-..._TED02.pdb' -> 'AF-...'
+    (parity: dbsearch_fulllength.py:36-39)."""
+    base = os.path.basename(x).removesuffix(".pdb")
+    return re.sub(r"[0-9]{2}$", "", base).rstrip("_").removesuffix("_TED")
+
+
+def _expand_chain_neighbourhood(db: FlatDB, anchor_index: int, anchor_chain: str):
+    """All db indices of the anchor's chain (walk left/right while the chain
+    id matches; parity :354-404). Returns sorted indices incl. anchor iff the
+    chain is multi-domain, else []."""
+    idxs = []
+    i = anchor_index - 1
+    while i >= 0 and domid2chainid(db.name(i)) == anchor_chain:
+        idxs.append(i)
+        i -= 1
+    i = anchor_index + 1
+    while i < db.size and domid2chainid(db.name(i)) == anchor_chain:
+        idxs.append(i)
+        i += 1
+    if idxs:
+        idxs.append(anchor_index)
+        idxs.sort()
+    return idxs
+
+
+def _submatrix_to_hits(mtx: np.ndarray, qc: str, hc: str, qds: list[str], hds: list[dict]):
+    """Enumerate valid query->hit domain assignments for one hit chain
+    (parity: tmalign_submatrix_to_hits :95-180).
+
+    match categories: 0 bag-of-domains; 1 ordered with gaps; 2 ordered,
+    end gaps only; 3 exact MDA match."""
+    result = []
+    nqd, nhd = mtx.shape
+    if np.where(~mtx.any(axis=1))[0].size > 0:
+        return result
+    if np.where(mtx.any(axis=0))[0].size < nqd:
+        return result
+
+    nz_rows, nz_cols = np.nonzero(mtx)
+    hd_indices = [[] for _ in range(nqd)]
+    for i, j in zip(nz_rows, nz_cols):
+        hd_indices[i].append(int(j))
+
+    for path in product(*hd_indices):
+        path = list(path)
+        if len(set(path)) != nqd:
+            continue
+        match_cat = 0
+        if sorted(path) == path:
+            if nqd == nhd:
+                match_cat = 3
+            elif np.all(np.diff(path) == 1):
+                match_cat = 2
+            else:
+                match_cat = 1
+        match_info, match_meta = [], []
+        for qdi in range(nqd):
+            hit = hds[path[qdi]]
+            match_info.append(FIELD_SEP.join([qds[qdi], hit["hd"], str(mtx[qdi, path[qdi]])]))
+            match_meta.append(hit["hm"])
+        result.append((qc, nqd, hc, nhd, match_cat,
+                       FIELD_SET_SEP.join(match_info),
+                       "[" + FIELD_SET_SEP.join(match_meta) + "]"))
+    return result
+
+
+def multi_domain_search(queries, search_results, db_name: str,
+                        fastmode: bool = False, mintm: float = 0.5,
+                        inputs_from_easy_search: bool = False,
+                        mode: str = "exhaustive_tmalign",
+                        pdb_chain: str | None = None):
+    """Full-length multi-domain architecture matching.
+
+    queries: list of PDB paths (search mode) or of per-domain dicts from the
+    segment stage (easy-search). Returns list of result tuples or None.
+    """
+    if mode != "exhaustive_tmalign":
+        raise ValueError(f"Unrecognised multi-domain search mode: {mode}")
+    nq = len(queries)
+    if nq == 1:
+        logger.warning("Cannot execute multi-domain search with only one query domain.")
+        return None
+
+    if not inputs_from_easy_search:
+        chains = (pdb_chain.rstrip(",").split(",") if pdb_chain else ["A"] * nq)
+        if len(chains) == 1:
+            chains = chains * nq
+        queries = [read_ca(q, chains[i]) for i, q in enumerate(queries)]
+
+    logger.info("Start multi-domain search...")
+    qd_info = {}
+    dom_names = []
+    for q in queries:
+        name = os.path.basename(q["name"]).removesuffix(".pdb")
+        qd_info[name] = q
+        dom_names.append(name)
+
+    if inputs_from_easy_search:
+        dom2chain = {d: re.sub(r"_merizo_[0-9]*$", "", d) for d in dom_names}
+    else:
+        dom2chain = {d: "A" for d in dom_names}
+
+    # group hits per query chain
+    hit_index: dict[str, dict[str, list[dict]]] = {}
+    for hitdict in search_results:
+        for hit in hitdict.values():
+            qd = hit["query"]
+            qc = dom2chain.get(qd)
+            if qc is None:
+                continue
+            hd = hit["target"]
+            hit_index.setdefault(qc, {}).setdefault(qd, []).append(
+                {"hc": domid2chainid(hd), "hd": hd, "hi": int(hit["dbindex"])})
+    # ensure every domain of a chain is present even if it had no hits
+    for qd, qc in dom2chain.items():
+        if qc in hit_index:
+            hit_index[qc].setdefault(qd, [])
+
+    db = FlatDB.open(db_name)
+    final_results = []
+
+    for qc in list(hit_index):
+        if len(hit_index[qc]) < 2:
+            logger.info("Query chain %s: fewer than two detected domains, skipping.", qc)
+            continue
+        nqd = len(hit_index[qc])
+        to_extract: set[int] = set()
+        for qd, hits in hit_index[qc].items():
+            for hit in hits:
+                idxs = _expand_chain_neighbourhood(db, hit["hi"], hit["hc"])
+                if len(idxs) >= nqd:
+                    to_extract.update(idxs)
+        if not to_extract:
+            logger.info("Query chain %s: no candidate multi-domain chains in db "
+                        "(try increasing -k).", qc)
+            continue
+
+        extract = sorted(to_extract)
+        entries = []
+        for i in extract:
+            name, coords, seq = db.entry(i)
+            entries.append({
+                "hd": os.path.basename(name).removesuffix(".pdb"),
+                "coords": coords, "seq": seq, "hi": i, "hm": db.metadata(i),
+            })
+
+        qds = list(hit_index[qc].keys())
+        q_structs = [qd_info[qd] for qd in qds]
+        logger.info("Query chain %s: TM-align %d x %d domain pairs (batched)...",
+                    qc, len(qds), len(entries))
+        pairs = [(q, {"coords": e["coords"], "seq": e["seq"]})
+                 for q in q_structs for e in entries]
+        tms = tmalign_pairs(pairs, fast=fastmode)
+        mtx = np.asarray([max(t["qtm"], t["ttm"]) for t in tms]).reshape(len(qds), len(entries))
+        mtx[mtx < mintm] = 0.0
+
+        hc_per_hd = np.asarray([domid2chainid(e["hd"]) for e in entries])
+        for hc in np.unique(hc_per_hd):
+            cols = np.where(hc_per_hd == hc)[0]
+            sub = _submatrix_to_hits(
+                mtx[:, cols], qc=qc, hc=hc, qds=qds,
+                hds=[{"hd": entries[c]["hd"], "hc": hc,
+                      "hi": entries[c]["hi"], "hm": entries[c]["hm"]} for c in cols])
+            final_results.extend(sub)
+        logger.info("Finished multi-domain search for query chain %s.", qc)
+    return final_results

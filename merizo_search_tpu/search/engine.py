@@ -39,7 +39,8 @@ def _normalize_rows(x: np.ndarray) -> np.ndarray:
     return (x / np.maximum(n, 1e-12)).astype(x.dtype)
 
 
-def build_mesh_search(mesh: Mesh, k: int, chunk: int, mincov: float, use_lengths: bool):
+def build_mesh_search(mesh: Mesh, k: int, chunk: int, mincov: float, use_lengths: bool,
+                      selection: str = "exact", recall_target: float = 0.95):
     """Build a jitted, shard_map'd search fn for a given mesh/k/chunk."""
     axis = mesh.axis_names[0]
 
@@ -51,7 +52,8 @@ def build_mesh_search(mesh: Mesh, k: int, chunk: int, mincov: float, use_lengths
         vals, idxs = topk_ops.topk_scan(
             q, db_shard, local_valid, k, chunk,
             tlen=tlen_shard if use_lengths else None,
-            qlen=qlen if use_lengths else None, mincov=mincov)
+            qlen=qlen if use_lengths else None, mincov=mincov,
+            selection=selection, recall_target=recall_target)
         idxs = jnp.where(idxs >= 0, idxs + me * shard_rows, idxs)
         # gather per-shard candidates over ICI and merge (replicated result)
         av = jax.lax.all_gather(vals, axis)          # [nd, Q, k]
@@ -81,13 +83,16 @@ class SearchEngine:
     max_device_gb : HBM budget; DBs larger than this use streaming mode.
     """
 
-    def __init__(self, db: FlatDB, mesh: Mesh | None = None, chunk: int = 8192,
+    def __init__(self, db: FlatDB, mesh: Mesh | None = None, chunk: int = 2 ** 20,
                  dtype=jnp.float32, max_device_gb: float = 8.0,
-                 stream_block: int = 2 ** 21):
+                 stream_block: int = 2 ** 21, selection: str = "exact",
+                 recall_target: float = 0.95):
         self.db = db
         self.mesh = mesh
         self.dtype = dtype
         self.stream_block = stream_block
+        self.selection = selection
+        self.recall_target = recall_target
         ndev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
         self.ndev = ndev
         itemsize = np.dtype("float32").itemsize if dtype == jnp.float32 else 2
@@ -153,7 +158,8 @@ class SearchEngine:
                 key = (k_eff, chunk, float(mincov), use_len)
                 if key not in self._mesh_fns:
                     self._mesh_fns[key] = build_mesh_search(
-                        self.mesh, k_eff, chunk, float(mincov), use_len)
+                        self.mesh, k_eff, chunk, float(mincov), use_len,
+                        self.selection, self.recall_target)
                 vals, idxs = self._mesh_fns[key](
                     jnp.asarray(q), self._demb, self._dlen,
                     jnp.asarray([self._n_valid], jnp.int32), jnp.asarray(qlen))
@@ -162,7 +168,8 @@ class SearchEngine:
                     jnp.asarray(q), self._demb, self._n_valid, k_eff, chunk,
                     tlen=self._dlen if use_len else None,
                     qlen=jnp.asarray(qlen) if use_len else None,
-                    mincov=float(mincov))
+                    mincov=float(mincov), selection=self.selection,
+                    recall_target=self.recall_target)
             vals = np.asarray(vals, np.float32)
             idxs = np.asarray(idxs)
         else:
@@ -204,7 +211,8 @@ class SearchEngine:
             vals, idxs = topk_ops.topk_scan(
                 dq, jnp.asarray(blk), nb, min(k, nb), chunk,
                 tlen=jnp.asarray(tl) if use_len else None,
-                qlen=dqlen if use_len else None, mincov=float(mincov))
+                qlen=dqlen if use_len else None, mincov=float(mincov),
+                selection=self.selection, recall_target=self.recall_target)
             partial_vals.append(vals)
             partial_idxs.append(jnp.where(idxs >= 0, idxs + off, idxs))
             seen += nb
