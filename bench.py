@@ -38,7 +38,7 @@ def tpu_qps():
     import jax.numpy as jnp
 
     sys.path.insert(0, "/root/repo")
-    from merizo_search_tpu.ops.topk import topk_scan
+    from merizo_search_tpu.ops.pallas_scan import fused_topk
 
     kq, kd = jax.random.split(jax.random.PRNGKey(0))
     db = jax.random.normal(kd, (DB_N, DIM), jnp.float32)
@@ -47,15 +47,11 @@ def tpu_qps():
     q0 = jax.random.normal(kq, (N_QUERIES, DIM), jnp.float32)
     q0 = (q0 / jnp.linalg.norm(q0, axis=1, keepdims=True)).astype(db.dtype)
 
-    precision = (jax.lax.Precision.DEFAULT if DTYPE == "bfloat16"
-                 else jax.lax.Precision.HIGHEST)
-
     @jax.jit
     def repeated(q0, db):
         def body(i, acc):
             q = q0 * (1.0 + i.astype(db.dtype) * db.dtype.type(1e-3))
-            v, idx = topk_scan(q, db, DB_N, K, CHUNK, precision=precision,
-                               selection="exact")
+            v, idx = fused_topk(q, db, DB_N, K)
             return acc + jnp.sum(v, axis=-1) + idx[:, 0].astype(jnp.float32)
         return jax.lax.fori_loop(0, REPEATS, body, jnp.zeros((N_QUERIES,), jnp.float32))
 
@@ -75,8 +71,7 @@ def tpu_qps():
     s = qn @ dbn.T
     ref_top = np.argsort(-s, axis=1)[:, :K]
     ref_kth = np.take_along_axis(s, ref_top, 1)[:, -1]
-    vv, ii = topk_scan(jnp.asarray(qn), jnp.asarray(dbn), sl, K, min(CHUNK, sl),
-                       precision=jax.lax.Precision.HIGHEST, selection="exact")
+    vv, ii = fused_topk(jnp.asarray(qn), jnp.asarray(dbn), sl, K, tile=4096)
     ii = np.asarray(ii)
     # margin-aware exact-recall: all clearly-above-threshold refs recovered
     rec = np.mean([

@@ -30,6 +30,7 @@ from jax.experimental.shard_map import shard_map
 
 from ..db.codecs import FlatDB
 from ..ops import topk as topk_ops
+from ..ops import pallas_scan
 
 logger = logging.getLogger(__name__)
 
@@ -102,6 +103,15 @@ class SearchEngine:
         self.chunk = min(chunk, 1 << 20)
         self._resident = None
         self._mesh_fns = {}
+        # fused Pallas scan: the production path for bf16 DBs resident on a
+        # single TPU. "auto" falls back to the XLA scan off-TPU, on meshes,
+        # and for DBs too small to amortise the tile padding.
+        self._fused = (
+            selection in ("exact", "fused")
+            and mesh is None
+            and dtype == jnp.bfloat16
+            and db.size >= pallas_scan.DEFAULT_TILE
+            and jax.default_backend() == "tpu")
 
     # -- residency ----------------------------------------------------------
     def _load_resident(self):
@@ -117,6 +127,8 @@ class SearchEngine:
         n = emb.shape[0]
         self._chunk_eff = max(8, min(self.chunk, ((n // self.ndev) + 7) // 8 * 8))
         mult = self.ndev * self._chunk_eff
+        if self._fused:
+            mult = pallas_scan.DEFAULT_TILE
         npad = ((n + mult - 1) // mult) * mult
         if npad != n:
             emb = np.concatenate([emb, np.zeros((npad - n, emb.shape[1]), emb.dtype)])
@@ -163,6 +175,12 @@ class SearchEngine:
                 vals, idxs = self._mesh_fns[key](
                     jnp.asarray(q), self._demb, self._dlen,
                     jnp.asarray([self._n_valid], jnp.int32), jnp.asarray(qlen))
+            elif self._fused:
+                vals, idxs = pallas_scan.fused_topk(
+                    jnp.asarray(q).astype(self.dtype), self._demb,
+                    self._n_valid, k_eff,
+                    tlen=self._dlen, qlen=jnp.asarray(qlen),
+                    mincov=float(mincov), use_len=use_len)
             else:
                 vals, idxs = topk_ops.topk_scan(
                     jnp.asarray(q), self._demb, self._n_valid, k_eff, chunk,

@@ -1,0 +1,101 @@
+"""Exactness tests for the fused Pallas scan (interpret mode on CPU).
+
+The fused path must reproduce brute-force numpy top-k exactly: the block-max
+cover (pallas_scan module docstring) is an exactness argument, not an
+approximation, so every index must match.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from merizo_search_tpu.ops.pallas_scan import fused_topk, _topk_entries
+
+
+def _brute(q, db, n_valid, k, tlen=None, qlen=None, mincov=0.0):
+    s = q @ db.T
+    s[:, n_valid:] = -np.inf
+    if tlen is not None:
+        s = np.where(qlen[:, None] >= tlen[None, :] * mincov, s, -np.inf)
+    idx = np.argsort(-s, axis=1, kind="stable")[:, :k]
+    return np.take_along_axis(s, idx, 1), idx
+
+
+@pytest.fixture(scope="module")
+def problem(rng):
+    N, D, Q = 1 << 13, 128, 5
+    db = rng.normal(size=(N, D)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    q = rng.normal(size=(Q, D)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    tlen = rng.uniform(50, 200, N).astype(np.float32)
+    qlen = rng.uniform(50, 200, Q).astype(np.float32)
+    return q, db, tlen, qlen
+
+
+def test_topk_entries_exact(rng):
+    x = rng.normal(size=(7, 1 << 13)).astype(np.float32)
+    v, i = _topk_entries(jnp.asarray(x), 100)
+    ref_i = np.argsort(-x, axis=1)[:, :100]
+    ref_v = np.take_along_axis(x, ref_i, 1)
+    np.testing.assert_array_equal(np.asarray(i), ref_i)
+    np.testing.assert_array_equal(np.asarray(v), ref_v)
+
+
+def test_topk_entries_narrow(rng):
+    x = rng.normal(size=(3, 50)).astype(np.float32)
+    v, i = _topk_entries(jnp.asarray(x), 100)   # k > width: padded
+    assert v.shape == (3, 100)
+    assert np.all(np.asarray(v)[:, 50:] == -np.inf)
+    ref_i = np.argsort(-x, axis=1)
+    np.testing.assert_array_equal(np.asarray(i)[:, :50], ref_i)
+
+
+def test_fused_topk_no_lengths(problem):
+    q, db, _, _ = problem
+    n_valid, k = db.shape[0] - 77, 37
+    rv, ri = _brute(q.copy(), db, n_valid, k)
+    v, i = fused_topk(jnp.asarray(q), jnp.asarray(db), n_valid, k,
+                      tile=2048, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i), ri)
+    np.testing.assert_allclose(np.asarray(v), rv, atol=2e-6)
+
+
+def test_fused_topk_mincov(problem):
+    q, db, tlen, qlen = problem
+    n_valid, k = db.shape[0], 25
+    rv, ri = _brute(q.copy(), db, n_valid, k, tlen, qlen, 0.7)
+    v, i = fused_topk(jnp.asarray(q), jnp.asarray(db), n_valid, k,
+                      tlen=jnp.asarray(tlen), qlen=jnp.asarray(qlen),
+                      mincov=0.7, tile=2048, use_len=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i), ri)
+    np.testing.assert_allclose(np.asarray(v), rv, atol=2e-6)
+
+
+def test_fused_topk_few_valid_rows(problem):
+    """k larger than the number of unmasked rows: tail must be -inf/-1."""
+    q, db, _, _ = problem
+    n_valid, k = 60, 100
+    v, i = fused_topk(jnp.asarray(q), jnp.asarray(db), n_valid, k,
+                      tile=2048, interpret=True)
+    v, i = np.asarray(v), np.asarray(i)
+    rv, ri = _brute(q.copy(), db, n_valid, k)
+    np.testing.assert_array_equal(i[:, :n_valid], ri[:, :n_valid])
+    assert np.all(i[:, n_valid:] == -1)
+    assert np.all(v[:, n_valid:] == -np.inf)
+
+
+def test_fused_topk_bf16_matches_bf16_xla(problem):
+    """bf16 storage: fused result == the XLA scan on identical bf16 inputs."""
+    from merizo_search_tpu.ops.topk import topk_scan
+
+    q, db, _, _ = problem
+    qb = jnp.asarray(q).astype(jnp.bfloat16)
+    dbb = jnp.asarray(db).astype(jnp.bfloat16)
+    n_valid, k = db.shape[0], 20
+    v1, i1 = fused_topk(qb, dbb, n_valid, k, tile=2048, interpret=True)
+    v2, i2 = topk_scan(qb, dbb, n_valid, k, 2048,
+                       precision=jax.lax.Precision.DEFAULT)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-5)
