@@ -1,0 +1,36 @@
+"""Structural alignment backends.
+
+Two interchangeable TM-align implementations replace the reference's
+per-pair TM-align subprocess (programs/Foldclass/utils.py:75-109):
+
+- "native": in-process C++ library (native/tmalign.cpp) with a std::thread
+  batch API — the drop-in for the reference's bundled C++ binary, built on
+  first use. Fast, sequential algorithm, best alignment quality.
+- "tpu": batched JAX reimplementation (align/tmalign.py) — every pair in a
+  length bucket aligns in one vmapped device call; useful when rescoring
+  batches are huge and the TPU is otherwise idle.
+
+"auto" prefers native and falls back to the JAX path if the toolchain is
+unavailable.
+"""
+
+from __future__ import annotations
+
+
+def rescore_pairs(pairs: list[tuple], fast: bool = False,
+                  backend: str = "auto", nthreads: int = 0) -> list[dict]:
+    """TM-align (query, target) coord/seq dict pairs.
+
+    Returns one {len_ali, rmsd, seq_id, qtm, ttm} dict per pair (the schema
+    of the reference's parsed TM-align output, Foldclass/utils.py:112-158).
+    """
+    if backend in ("auto", "native"):
+        from . import native
+        if native.available():
+            return native.tmalign_pairs_native(pairs, fast=fast,
+                                               nthreads=nthreads)
+        if backend == "native":
+            raise RuntimeError("native tmalign backend unavailable "
+                               "(g++ build failed?)")
+    from .tmalign import tmalign_pairs
+    return tmalign_pairs(pairs, fast=fast)

@@ -1,0 +1,138 @@
+"""ctypes bindings for the native C++ TM-align (native/tmalign.cpp).
+
+The reference invokes its bundled TM-align binary as a subprocess per
+query-hit pair, round-tripping PDBs through /tmp (programs/Foldclass/
+utils.py:75-109). Here the aligner is an in-process shared library with a
+std::thread batch entry point: no fork+exec, no file I/O, one call per
+rescoring batch.
+
+The library is compiled on first use with g++ (-O3) and cached next to the
+sources; `available()` reports whether a working build exists so callers can
+fall back to the batched TPU aligner (align/tmalign.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import logging
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "native", "tmalign.cpp")
+_LIB = os.path.join(os.path.dirname(_SRC), "libtmalign.so")
+
+_lock = threading.Lock()
+_lib = None
+_build_failed = False
+
+
+def _build() -> str | None:
+    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+        return _LIB
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+           "-o", _LIB, _SRC, "-lpthread"]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        return _LIB
+    except (subprocess.SubprocessError, OSError) as e:
+        err = getattr(e, "stderr", b"") or b""
+        logger.warning("native tmalign build failed: %s %s", e, err.decode()[:500])
+        return None
+
+
+def _load():
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        path = _build()
+        if path is None:
+            _build_failed = True
+            return None
+        lib = ctypes.CDLL(path)
+        lib.tmalign_pair.restype = ctypes.c_int
+        lib.tmalign_pair.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int)]
+        lib.tmalign_batch.restype = ctypes.c_int
+        lib.tmalign_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int)]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _pack(structs) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    coords = [np.ascontiguousarray(s["coords"], np.float32) for s in structs]
+    lens = np.asarray([c.shape[0] for c in coords], np.int32)
+    offs = np.zeros(len(coords), np.int32)
+    if len(coords) > 1:
+        offs[1:] = np.cumsum(lens[:-1])
+    flat = (np.concatenate(coords, axis=0) if coords
+            else np.zeros((0, 3), np.float32))
+    return np.ascontiguousarray(flat), offs, lens
+
+
+def tmalign_pairs_native(pairs: list[tuple], fast: bool = False,
+                         nthreads: int = 0) -> list[dict]:
+    """Align (query, target) dict pairs with the C++ library.
+
+    Same result schema as align.tmalign.tmalign_pairs / the reference's
+    parsed TM-align output: {len_ali, rmsd, seq_id, qtm, ttm}.
+    """
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native tmalign library unavailable")
+    n = len(pairs)
+    if n == 0:
+        return []
+    xq, qoff, qlen = _pack([p[0] for p in pairs])
+    xt, toff, tlen = _pack([p[1] for p in pairs])
+    out = np.zeros(4 * n, np.float64)
+    ali = np.full(int(qlen.sum()), -1, np.int32)
+
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int)
+    dp = ctypes.POINTER(ctypes.c_double)
+    rc = lib.tmalign_batch(
+        xq.ctypes.data_as(fp), qoff.ctypes.data_as(ip), qlen.ctypes.data_as(ip),
+        xt.ctypes.data_as(fp), toff.ctypes.data_as(ip), tlen.ctypes.data_as(ip),
+        n, int(fast), int(nthreads),
+        out.ctypes.data_as(dp), ali.ctypes.data_as(ip))
+    if rc != 0:
+        raise RuntimeError(f"tmalign_batch returned {rc}")
+
+    results = []
+    for i, (q, t) in enumerate(pairs):
+        qtm, ttm, rmsd, len_ali = out[4 * i:4 * i + 4]
+        a = ali[qoff[i]:qoff[i] + qlen[i]]
+        n_id = 0
+        qs, ts = q.get("seq", ""), t.get("seq", "")
+        for xi in range(min(len(qs), len(a))):
+            j = a[xi]
+            if 0 <= j < len(ts) and qs[xi] == ts[j]:
+                n_id += 1
+        la = int(len_ali)
+        results.append({
+            "len_ali": la,
+            "rmsd": float(rmsd),
+            "seq_id": (n_id / la) if la else 0.0,
+            "qtm": float(qtm),
+            "ttm": float(ttm),
+        })
+    return results

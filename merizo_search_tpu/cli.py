@@ -49,6 +49,11 @@ def _add_search_flags(p: argparse.ArgumentParser):
                    choices=["exhaustive_tmalign"])
     p.add_argument("--skip_tmalign", action="store_true", default=False,
                    help="Skip TM rescoring (embedding scores only).")
+    p.add_argument("--tmalign_backend", type=str, default="auto",
+                   choices=["auto", "native", "tpu"],
+                   help="TM-align rescoring backend: in-process C++ library "
+                        "('native'), batched JAX aligner ('tpu'), or pick "
+                        "automatically.")
     p.add_argument("--mesh", type=int, default=0,
                    help="Shard the DB across this many devices (0 = single device).")
     p.add_argument("--weights", type=str, default=None,
@@ -194,7 +199,8 @@ def _do_search(args, inputs, inputs_are_ca, pdb_chain, fields_default):
         mincos=args.mincos, mintm=args.mintm, mincov=args.mincov,
         inputs_are_ca=inputs_are_ca, pdb_chain=pdb_chain,
         skip_tmalign=args.skip_tmalign, search_batchsize=args.search_batchsize,
-        mesh=_mesh(args.mesh), weights=args.weights)
+        mesh=_mesh(args.mesh), weights=args.weights,
+        tmalign_backend=args.tmalign_backend)
 
     write_search_results(results, search_output, fields,
                          header=args.output_headers, metadata_json=args.metadata_json)
@@ -206,7 +212,8 @@ def _do_search(args, inputs, inputs_are_ca, pdb_chain, fields_default):
         fl = multi_domain_search(
             inputs, results, args.db_name, fastmode=args.fastmode,
             mintm=args.mintm, inputs_from_easy_search=inputs_are_ca,
-            mode=args.multi_domain_mode)
+            mode=args.multi_domain_mode,
+            tmalign_backend=args.tmalign_backend)
         if fl is not None:
             write_all_dom_search_results(fl, args.output + "_search_multi_dom.tsv",
                                          args.output_headers)

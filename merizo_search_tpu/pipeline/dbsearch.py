@@ -30,7 +30,7 @@ import numpy as np
 from ..db.codecs import FlatDB
 from ..io.pdb import read_ca
 from ..search.engine import SearchEngine
-from ..align.tmalign import tmalign_pairs
+from ..align import rescore_pairs
 from .embed import embed_structures, load_foldclass_params, MAX_RES
 
 logger = logging.getLogger(__name__)
@@ -62,7 +62,8 @@ def run_dbsearch(inputs, db_name: str, topk: int = 1, fastmode: bool = False,
                  inputs_are_ca: bool = False, pdb_chain: str | None = None,
                  skip_tmalign: bool = False, search_batchsize: int = 2 ** 21,
                  mesh=None, params=None, weights: str | None = None,
-                 engine: SearchEngine | None = None):
+                 engine: SearchEngine | None = None,
+                 tmalign_backend: str = "auto"):
     """Search queries against a database.
 
     inputs: list of PDB paths, or (inputs_are_ca=True) of dicts with
@@ -137,7 +138,7 @@ def run_dbsearch(inputs, db_name: str, topk: int = 1, fastmode: bool = False,
         logger.info("TM-align %d query-hit pairs (batched)", len(cand))
         pairs = [(queries[qi], {"coords": db.coords(i), "seq": db.seq(i)})
                  for qi, _, _, i in cand]
-        tms = tmalign_pairs(pairs, fast=fastmode)
+        tms = rescore_pairs(pairs, fast=fastmode, backend=tmalign_backend)
     else:
         tms = []
 

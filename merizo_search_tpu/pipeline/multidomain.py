@@ -23,7 +23,7 @@ import numpy as np
 
 from ..db.codecs import FlatDB
 from ..io.pdb import read_ca
-from ..align.tmalign import tmalign_pairs
+from ..align import rescore_pairs
 
 logger = logging.getLogger(__name__)
 
@@ -102,7 +102,8 @@ def multi_domain_search(queries, search_results, db_name: str,
                         fastmode: bool = False, mintm: float = 0.5,
                         inputs_from_easy_search: bool = False,
                         mode: str = "exhaustive_tmalign",
-                        pdb_chain: str | None = None):
+                        pdb_chain: str | None = None,
+                        tmalign_backend: str = "auto"):
     """Full-length multi-domain architecture matching.
 
     queries: list of PDB paths (search mode) or of per-domain dicts from the
@@ -184,7 +185,7 @@ def multi_domain_search(queries, search_results, db_name: str,
                     qc, len(qds), len(entries))
         pairs = [(q, {"coords": e["coords"], "seq": e["seq"]})
                  for q in q_structs for e in entries]
-        tms = tmalign_pairs(pairs, fast=fastmode)
+        tms = rescore_pairs(pairs, fast=fastmode, backend=tmalign_backend)
         mtx = np.asarray([max(t["qtm"], t["ttm"]) for t in tms]).reshape(len(qds), len(entries))
         mtx[mtx < mintm] = 0.0
 
