@@ -23,6 +23,17 @@ def setup_logging():
                         format="%(asctime)s | %(levelname)s | %(message)s")
 
 
+def _add_trace_flag(p: argparse.ArgumentParser):
+    p.add_argument("--trace", type=str, default=None, metavar="DIR",
+                   help="Capture a JAX device trace (TensorBoard/XProf) into DIR.")
+
+
+def _finish(label: str, t0: float):
+    from .utils import profiling
+    profiling.report(logger)
+    logger.info("Finished %s in %.3f seconds.", label, time.time() - t0)
+
+
 def _add_search_flags(p: argparse.ArgumentParser):
     p.add_argument("-d", "--device", type=str, default=None,
                    help="JAX platform override (e.g. 'cpu', 'tpu'). Default: auto.")
@@ -135,6 +146,7 @@ def segment(argv):
     p.add_argument("-d", "--device", type=str, default=None)
     p.add_argument("-t", "--threads", type=int, default=-1)
     p.add_argument("--output_headers", action="store_true", default=False)
+    _add_trace_flag(p)
     _add_merizo_flags(p)
     args = p.parse_args(argv)
     _apply_device(args.device)
@@ -142,19 +154,21 @@ def segment(argv):
     from .io.results import write_segment_results
     from .models.merizo.network import load_merizo_params
     from .segment.outputs import run_merizo
+    from .utils import profiling
 
     out = args.output + "_segment.tsv"
     if os.path.exists(out):
         logger.warning("Segment output file '%s' already exists. Results will be overwritten!", out)
     t0 = time.time()
-    params = load_merizo_params(args.merizo_weights)
-    chains = args.pdb_chain.rstrip(",").split(",")
-    if len(chains) == 1:
-        chains = chains * len(args.input)
-    _, results = run_merizo(params, args.input, pdb_chains=chains,
-                            merizo_output=args.merizo_output, **_merizo_kw(args))
-    write_segment_results(results, out, header=args.output_headers)
-    logger.info("Finished segment in %.3f seconds.", time.time() - t0)
+    with profiling.trace(args.trace):
+        params = load_merizo_params(args.merizo_weights)
+        chains = args.pdb_chain.rstrip(",").split(",")
+        if len(chains) == 1:
+            chains = chains * len(args.input)
+        _, results = run_merizo(params, args.input, pdb_chains=chains,
+                                merizo_output=args.merizo_output, **_merizo_kw(args))
+        write_segment_results(results, out, header=args.output_headers)
+    _finish("segment", t0)
 
 
 def createdb(argv):
@@ -169,15 +183,18 @@ def createdb(argv):
                    help="'pt' = reference small-DB layout; 'mmap' = large resumable layout.")
     p.add_argument("--resume", action="store_true", default=False)
     p.add_argument("--weights", type=str, default=None)
+    _add_trace_flag(p)
     args = p.parse_args(argv)
     _apply_device(args.device)
 
     from .pipeline.createdb import run_createdb
+    from .utils import profiling
 
     t0 = time.time()
-    run_createdb(args.input_dir, args.out_db, weights=args.weights,
-                 fmt=args.db_format, resume=args.resume)
-    logger.info("Finished createdb in %.3f seconds.", time.time() - t0)
+    with profiling.trace(args.trace):
+        run_createdb(args.input_dir, args.out_db, weights=args.weights,
+                     fmt=args.db_format, resume=args.resume)
+    _finish("createdb", t0)
 
 
 def _do_search(args, inputs, inputs_are_ca, pdb_chain, fields_default):
@@ -235,12 +252,15 @@ def search(argv):
     p.add_argument("--format", type=str, default=SEARCH_FIELDS)
     p.add_argument("--pdb_chain", type=str, default="A")
     _add_search_flags(p)
+    _add_trace_flag(p)
     args = p.parse_args(argv)
     _apply_device(args.device)
+    from .utils import profiling
     t0 = time.time()
-    _do_search(args, args.input, inputs_are_ca=False,
-               pdb_chain=args.pdb_chain, fields_default=SEARCH_FIELDS)
-    logger.info("Finished search in %.3f seconds.", time.time() - t0)
+    with profiling.trace(args.trace):
+        _do_search(args, args.input, inputs_are_ca=False,
+                   pdb_chain=args.pdb_chain, fields_default=SEARCH_FIELDS)
+    _finish("search", t0)
 
 
 def easy_search(argv):
@@ -257,37 +277,40 @@ def easy_search(argv):
                    help="Accepted for reference-CLI parity; unused.")
     p.add_argument("--format", type=str, default=EASY_SEARCH_FIELDS)
     _add_search_flags(p)
+    _add_trace_flag(p)
     _add_merizo_flags(p)
     args = p.parse_args(argv)
     _apply_device(args.device)
 
     from .models.merizo.network import load_merizo_params
     from .segment.outputs import run_merizo
+    from .utils import profiling
 
     t0 = time.time()
-    seg_out = args.output + "_segment.tsv"
-    if os.path.exists(seg_out):
-        logger.warning("Segment output file '%s' already exists. Results will be overwritten!", seg_out)
+    with profiling.trace(args.trace):
+        seg_out = args.output + "_segment.tsv"
+        if os.path.exists(seg_out):
+            logger.warning("Segment output file '%s' already exists. Results will be overwritten!", seg_out)
 
-    chains = args.pdb_chain.rstrip(",").split(",")
-    if len(chains) == 1:
-        chains = chains * len(args.input)
+        chains = args.pdb_chain.rstrip(",").split(",")
+        if len(chains) == 1:
+            chains = chains * len(args.input)
 
-    params = load_merizo_params(args.merizo_weights)
-    domains, seg_results = run_merizo(params, args.input, pdb_chains=chains,
-                                      merizo_output=args.merizo_output,
-                                      **_merizo_kw(args))
-    write_segment_results(seg_results, seg_out, header=args.output_headers)
+        params = load_merizo_params(args.merizo_weights)
+        domains, seg_results = run_merizo(params, args.input, pdb_chains=chains,
+                                          merizo_output=args.merizo_output,
+                                          **_merizo_kw(args))
+        write_segment_results(seg_results, seg_out, header=args.output_headers)
 
-    if len(domains) == 0:
-        logger.info("easy-search finished after segmentation. "
-                    "Segmentation of this PDB file was not possible")
-        logger.info("Finished easy-search in %.3f seconds.", time.time() - t0)
-        return
+        if len(domains) == 0:
+            logger.info("easy-search finished after segmentation. "
+                        "Segmentation of this PDB file was not possible")
+            _finish("easy-search", t0)
+            return
 
-    _do_search(args, domains, inputs_are_ca=True, pdb_chain=None,
-               fields_default=EASY_SEARCH_FIELDS)
-    logger.info("Finished easy-search in %.3f seconds.", time.time() - t0)
+        _do_search(args, domains, inputs_are_ca=True, pdb_chain=None,
+                   fields_default=EASY_SEARCH_FIELDS)
+    _finish("easy-search", t0)
 
 
 USAGE = """Usage: python -m merizo_search_tpu.cli <mode> <args>

@@ -31,6 +31,7 @@ from ..db.codecs import FlatDB
 from ..io.pdb import read_ca
 from ..search.engine import SearchEngine
 from ..align import rescore_pairs
+from ..utils import profiling
 from .embed import embed_structures, load_foldclass_params, MAX_RES
 
 logger = logging.getLogger(__name__)
@@ -88,13 +89,15 @@ def run_dbsearch(inputs, db_name: str, topk: int = 1, fastmode: bool = False,
     use_cov_filters = db.kind == "pt"
 
     logger.info("embedding %d queries", len(queries))
-    embs = embed_structures(params, [q["coords"][:MAX_RES] for q in queries])
+    with profiling.phase("embed_queries"):
+        embs = embed_structures(params, [q["coords"][:MAX_RES] for q in queries])
     qlens = np.asarray([len(q["seq"]) for q in queries])
 
-    vals, idxs = engine.search(
-        embs, k=topk,
-        query_lens=qlens if use_cov_filters else None,
-        mincov=mincov if use_cov_filters else 0.0)
+    with profiling.phase("db_scan"):
+        vals, idxs = engine.search(
+            embs, k=topk,
+            query_lens=qlens if use_cov_filters else None,
+            mincov=mincov if use_cov_filters else 0.0)
 
     # collect candidate hits passing mincos
     cand = []  # (qi, rank, score, dbindex)
@@ -136,9 +139,10 @@ def run_dbsearch(inputs, db_name: str, topk: int = 1, fastmode: bool = False,
     # batched rescoring of all candidates at once
     if cand:
         logger.info("TM-align %d query-hit pairs (batched)", len(cand))
-        pairs = [(queries[qi], {"coords": db.coords(i), "seq": db.seq(i)})
-                 for qi, _, _, i in cand]
-        tms = rescore_pairs(pairs, fast=fastmode, backend=tmalign_backend)
+        with profiling.phase("tmalign_rescore"):
+            pairs = [(queries[qi], {"coords": db.coords(i), "seq": db.seq(i)})
+                     for qi, _, _, i in cand]
+            tms = rescore_pairs(pairs, fast=fastmode, backend=tmalign_backend)
     else:
         tms = []
 

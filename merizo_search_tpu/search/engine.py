@@ -203,34 +203,69 @@ class SearchEngine:
 
     # -- streaming ----------------------------------------------------------
     def _stream_search(self, q, k, qlen, mincov, use_len):
+        import queue
+        import threading
+
         t0 = time.time()
         dq = jnp.asarray(q)
         dqlen = jnp.asarray(qlen)
         lengths = self.db.lengths().astype(np.float32) if use_len else None
         partial_vals, partial_idxs = [], []
         block = self.stream_block
+        # fused Pallas scan per superblock on TPU bf16; XLA scan otherwise
+        fused = self.dtype == jnp.bfloat16 and jax.default_backend() == "tpu"
+        mult = pallas_scan.DEFAULT_TILE if fused else min(self.chunk, block)
         chunk = min(self.chunk, block)
-        fn = None
+
+        # host-side read+normalise+pad runs in a producer thread so disk/mem
+        # traffic overlaps the (async-dispatched) device scan of the previous
+        # superblock — the streaming double-buffer the reference's faiss
+        # block loop lacks (dbsearch.py:232-248 is fully serial).
+        def produce(out_q):
+            try:
+                for off, blk in self.db.iter_blocks(block):
+                    blk = np.asarray(blk, np.float32)
+                    if not self.db.normalised:
+                        blk = _normalize_rows(blk)
+                    nb = blk.shape[0]
+                    npad = ((nb + mult - 1) // mult) * mult
+                    if npad != nb:
+                        blk = np.concatenate(
+                            [blk, np.zeros((npad - nb, blk.shape[1]), blk.dtype)])
+                    tl = None
+                    if use_len:
+                        tl = np.full(npad, 1e9, np.float32)
+                        tl[:nb] = lengths[off:off + nb]
+                    if self.dtype != jnp.float32:
+                        blk = blk.astype(np.dtype("bfloat16"))
+                    out_q.put((off, nb, blk, tl))
+                out_q.put(None)
+            except BaseException as e:  # surface IO errors to the consumer
+                out_q.put(e)
+
+        qout: queue.Queue = queue.Queue(maxsize=2)
+        threading.Thread(target=produce, args=(qout,), daemon=True).start()
+
         seen = 0
-        for off, blk in self.db.iter_blocks(block):
-            blk = np.asarray(blk, np.float32)
-            if not self.db.normalised:
-                blk = _normalize_rows(blk)
-            nb = blk.shape[0]
-            npad = ((nb + chunk - 1) // chunk) * chunk
-            if npad != nb:
-                blk = np.concatenate([blk, np.zeros((npad - nb, blk.shape[1]), blk.dtype)])
-            tl = None
-            if use_len:
-                tl = np.full(npad, 1e9, np.float32)
-                tl[:nb] = lengths[off:off + nb]
-            if self.dtype != jnp.float32:
-                blk = blk.astype(np.dtype("bfloat16"))
-            vals, idxs = topk_ops.topk_scan(
-                dq, jnp.asarray(blk), nb, min(k, nb), chunk,
-                tlen=jnp.asarray(tl) if use_len else None,
-                qlen=dqlen if use_len else None, mincov=float(mincov),
-                selection=self.selection, recall_target=self.recall_target)
+        while True:
+            item = qout.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            off, nb, blk, tl = item
+            if fused:
+                vals, idxs = pallas_scan.fused_topk(
+                    dq.astype(self.dtype), jnp.asarray(blk), nb, min(k, nb),
+                    tlen=jnp.asarray(tl) if use_len else None,
+                    qlen=dqlen if use_len else None, mincov=float(mincov),
+                    use_len=use_len)
+            else:
+                vals, idxs = topk_ops.topk_scan(
+                    dq, jnp.asarray(blk), nb, min(k, nb), chunk,
+                    tlen=jnp.asarray(tl) if use_len else None,
+                    qlen=dqlen if use_len else None, mincov=float(mincov),
+                    selection=self.selection, recall_target=self.recall_target)
             partial_vals.append(vals)
             partial_idxs.append(jnp.where(idxs >= 0, idxs + off, idxs))
             seen += nb

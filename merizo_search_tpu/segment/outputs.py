@@ -15,6 +15,7 @@ import os
 import numpy as np
 
 from ..io.pdb import write_pdb_records, select_atoms, get_xyz, mol_to_fasta
+from ..utils import profiling
 from ..utils.residues import THREE_TO_ONE_EXT
 from . import postprocess as pp
 from .pipeline import segment_structure
@@ -177,7 +178,8 @@ def run_merizo(params, input_paths: list[str], pdb_chains: list[str] | None = No
         pdb_bn = os.path.splitext(pdb_name)[0]
         name_dict = {"pdb_name": pdb_name, "pdb_path": path,
                      "pdb_bn": pdb_bn, "pdb_out": pdb_bn + "_merizo"}
-        f = segment_structure(params, path, chain=chain, **kw)
+        with profiling.phase("segment"):
+            f = segment_structure(params, path, chain=chain, **kw)
         domains = write_outputs(f, name_dict, merizo_output, **out_kw)
         segment_domains.extend(domains)
         segment_results.append(summary_row(f, name_dict))
