@@ -41,20 +41,33 @@ def _normalize_rows(x: np.ndarray) -> np.ndarray:
 
 
 def build_mesh_search(mesh: Mesh, k: int, chunk: int, mincov: float, use_lengths: bool,
-                      selection: str = "exact", recall_target: float = 0.95):
-    """Build a jitted, shard_map'd search fn for a given mesh/k/chunk."""
+                      selection: str = "exact", recall_target: float = 0.95,
+                      fused: bool = False, fused_tile: int | None = None,
+                      interpret: bool = False):
+    """Build a jitted, shard_map'd search fn for a given mesh/k/chunk.
+
+    fused=True runs the Pallas fused scan on each chip's shard (TPU bf16
+    shards whose row count divides the tile); otherwise the XLA scan.
+    """
     axis = mesh.axis_names[0]
+    tile = fused_tile or pallas_scan.DEFAULT_TILE
 
     def local_fn(q, db_shard, tlen_shard, n_valid, qlen):
         nd = jax.lax.axis_size(axis)
         me = jax.lax.axis_index(axis)
         shard_rows = db_shard.shape[0]
         local_valid = jnp.clip(n_valid[0] - me * shard_rows, 0, shard_rows)
-        vals, idxs = topk_ops.topk_scan(
-            q, db_shard, local_valid, k, chunk,
-            tlen=tlen_shard if use_lengths else None,
-            qlen=qlen if use_lengths else None, mincov=mincov,
-            selection=selection, recall_target=recall_target)
+        if fused:
+            vals, idxs = pallas_scan.fused_topk(
+                q, db_shard, local_valid, k,
+                tlen=tlen_shard, qlen=qlen, mincov=mincov, tile=tile,
+                use_len=use_lengths, interpret=interpret)
+        else:
+            vals, idxs = topk_ops.topk_scan(
+                q, db_shard, local_valid, k, chunk,
+                tlen=tlen_shard if use_lengths else None,
+                qlen=qlen if use_lengths else None, mincov=mincov,
+                selection=selection, recall_target=recall_target)
         idxs = jnp.where(idxs >= 0, idxs + me * shard_rows, idxs)
         # gather per-shard candidates over ICI and merge (replicated result)
         av = jax.lax.all_gather(vals, axis)          # [nd, Q, k]
@@ -103,14 +116,14 @@ class SearchEngine:
         self.chunk = min(chunk, 1 << 20)
         self._resident = None
         self._mesh_fns = {}
-        # fused Pallas scan: the production path for bf16 DBs resident on a
-        # single TPU. "auto" falls back to the XLA scan off-TPU, on meshes,
-        # and for DBs too small to amortise the tile padding.
+        # fused Pallas scan: the production path for bf16 DBs resident in TPU
+        # HBM (single chip or mesh-sharded — each chip scans its own shard).
+        # "auto" falls back to the XLA scan off-TPU and for DBs too small to
+        # amortise the tile padding.
         self._fused = (
             selection in ("exact", "fused")
-            and mesh is None
             and dtype == jnp.bfloat16
-            and db.size >= pallas_scan.DEFAULT_TILE
+            and db.size >= ndev * pallas_scan.DEFAULT_TILE
             and jax.default_backend() == "tpu")
 
     # -- residency ----------------------------------------------------------
@@ -128,7 +141,7 @@ class SearchEngine:
         self._chunk_eff = max(8, min(self.chunk, ((n // self.ndev) + 7) // 8 * 8))
         mult = self.ndev * self._chunk_eff
         if self._fused:
-            mult = pallas_scan.DEFAULT_TILE
+            mult = self.ndev * pallas_scan.DEFAULT_TILE
         npad = ((n + mult - 1) // mult) * mult
         if npad != n:
             emb = np.concatenate([emb, np.zeros((npad - n, emb.shape[1]), emb.dtype)])
@@ -167,13 +180,14 @@ class SearchEngine:
             self._load_resident()
             chunk = self._chunk_eff
             if self.mesh is not None:
-                key = (k_eff, chunk, float(mincov), use_len)
+                key = (k_eff, chunk, float(mincov), use_len, self._fused)
                 if key not in self._mesh_fns:
                     self._mesh_fns[key] = build_mesh_search(
                         self.mesh, k_eff, chunk, float(mincov), use_len,
-                        self.selection, self.recall_target)
+                        self.selection, self.recall_target, fused=self._fused)
+                qd = jnp.asarray(q).astype(self.dtype) if self._fused else jnp.asarray(q)
                 vals, idxs = self._mesh_fns[key](
-                    jnp.asarray(q), self._demb, self._dlen,
+                    qd, self._demb, self._dlen,
                     jnp.asarray([self._n_valid], jnp.int32), jnp.asarray(qlen))
             elif self._fused:
                 vals, idxs = pallas_scan.fused_topk(

@@ -86,6 +86,26 @@ def test_fused_topk_few_valid_rows(problem):
     assert np.all(v[:, n_valid:] == -np.inf)
 
 
+def test_fused_mesh_search_exact(problem):
+    """fused scan under shard_map on an 8-device CPU mesh: per-shard Pallas
+    scan + ICI all-gather merge must reproduce brute force exactly."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from merizo_search_tpu.search.engine import build_mesh_search
+
+    q, db, tlen, qlen = problem
+    n, k = db.shape[0], 17
+    mesh = Mesh(np.array(jax.devices()[:8]), ("d",))
+    fn = build_mesh_search(mesh, k=k, chunk=256, mincov=0.7, use_lengths=True,
+                           fused=True, fused_tile=512, interpret=True)
+    demb = jax.device_put(jnp.asarray(db), NamedSharding(mesh, P("d", None)))
+    dlen = jax.device_put(jnp.asarray(tlen), NamedSharding(mesh, P("d")))
+    v, i = fn(jnp.asarray(q), demb, dlen, jnp.asarray([n], jnp.int32),
+              jnp.asarray(qlen))
+    rv, ri = _brute(q.copy(), db, n, k, tlen, qlen, 0.7)
+    np.testing.assert_array_equal(np.asarray(i), ri)
+    np.testing.assert_allclose(np.asarray(v), rv, atol=2e-6)
+
+
 def test_fused_topk_bf16_matches_bf16_xla(problem):
     """bf16 storage: fused result == the XLA scan on identical bf16 inputs."""
     from merizo_search_tpu.ops.topk import topk_scan
