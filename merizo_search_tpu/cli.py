@@ -23,6 +23,23 @@ def setup_logging():
                         format="%(asctime)s | %(levelname)s | %(message)s")
 
 
+def enable_compilation_cache():
+    """Persist XLA compilations across runs (~/.cache/merizo_tpu/jax or
+    $MERIZO_TPU_CACHE). First-run jit compiles of the models are tens of
+    seconds; repeat invocations then start hot — the CLI equivalent of a
+    long-running server."""
+    try:
+        import jax
+        cache_dir = os.environ.get(
+            "MERIZO_TPU_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "merizo_tpu", "jax"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is an optimisation, never fatal
+        logger.debug("compilation cache disabled: %s", e)
+
+
 def _add_trace_flag(p: argparse.ArgumentParser):
     p.add_argument("--trace", type=str, default=None, metavar="DIR",
                    help="Capture a JAX device trace (TensorBoard/XProf) into DIR.")
@@ -321,6 +338,7 @@ USAGE = """Usage: python -m merizo_search_tpu.cli <mode> <args>
 
 def main(argv=None):
     setup_logging()
+    enable_compilation_cache()
     argv = sys.argv[1:] if argv is None else argv
     if not argv:
         print(USAGE)
