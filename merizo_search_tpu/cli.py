@@ -57,7 +57,8 @@ def _add_search_flags(p: argparse.ArgumentParser):
     p.add_argument("-k", "--topk", type=int, default=1,
                    help="Max number of domain matches to return for each query.")
     p.add_argument("-t", "--threads", type=int, default=-1,
-                   help="CPU threads (accepted for CLI parity; JAX manages its own pool).")
+                   help="CPU threads for native TM-align rescoring "
+                        "(<=0 = all cores; JAX manages its own pool).")
     p.add_argument("-s", "--mincos", type=float, default=0.5,
                    help="Min cosine similarity to database matches.")
     p.add_argument("-m", "--mintm", type=float, default=0.5,
@@ -234,7 +235,7 @@ def _do_search(args, inputs, inputs_are_ca, pdb_chain, fields_default):
         inputs_are_ca=inputs_are_ca, pdb_chain=pdb_chain,
         skip_tmalign=args.skip_tmalign, search_batchsize=args.search_batchsize,
         mesh=_mesh(args.mesh), weights=args.weights,
-        tmalign_backend=args.tmalign_backend)
+        tmalign_backend=args.tmalign_backend, threads=max(args.threads, 0))
 
     write_search_results(results, search_output, fields,
                          header=args.output_headers, metadata_json=args.metadata_json)
@@ -247,7 +248,7 @@ def _do_search(args, inputs, inputs_are_ca, pdb_chain, fields_default):
             inputs, results, args.db_name, fastmode=args.fastmode,
             mintm=args.mintm, inputs_from_easy_search=inputs_are_ca,
             mode=args.multi_domain_mode,
-            tmalign_backend=args.tmalign_backend)
+            tmalign_backend=args.tmalign_backend, threads=max(args.threads, 0))
         if fl is not None:
             write_all_dom_search_results(fl, args.output + "_search_multi_dom.tsv",
                                          args.output_headers)

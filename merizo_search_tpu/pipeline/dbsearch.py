@@ -64,7 +64,7 @@ def run_dbsearch(inputs, db_name: str, topk: int = 1, fastmode: bool = False,
                  skip_tmalign: bool = False, search_batchsize: int = 2 ** 21,
                  mesh=None, params=None, weights: str | None = None,
                  engine: SearchEngine | None = None,
-                 tmalign_backend: str = "auto"):
+                 tmalign_backend: str = "auto", threads: int = 0):
     """Search queries against a database.
 
     inputs: list of PDB paths, or (inputs_are_ca=True) of dicts with
@@ -142,7 +142,8 @@ def run_dbsearch(inputs, db_name: str, topk: int = 1, fastmode: bool = False,
         with profiling.phase("tmalign_rescore"):
             pairs = [(queries[qi], {"coords": db.coords(i), "seq": db.seq(i)})
                      for qi, _, _, i in cand]
-            tms = rescore_pairs(pairs, fast=fastmode, backend=tmalign_backend)
+            tms = rescore_pairs(pairs, fast=fastmode, backend=tmalign_backend,
+                                nthreads=max(threads, 0))
     else:
         tms = []
 

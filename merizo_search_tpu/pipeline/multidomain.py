@@ -103,7 +103,7 @@ def multi_domain_search(queries, search_results, db_name: str,
                         inputs_from_easy_search: bool = False,
                         mode: str = "exhaustive_tmalign",
                         pdb_chain: str | None = None,
-                        tmalign_backend: str = "auto"):
+                        tmalign_backend: str = "auto", threads: int = 0):
     """Full-length multi-domain architecture matching.
 
     queries: list of PDB paths (search mode) or of per-domain dicts from the
@@ -185,7 +185,8 @@ def multi_domain_search(queries, search_results, db_name: str,
                     qc, len(qds), len(entries))
         pairs = [(q, {"coords": e["coords"], "seq": e["seq"]})
                  for q in q_structs for e in entries]
-        tms = rescore_pairs(pairs, fast=fastmode, backend=tmalign_backend)
+        tms = rescore_pairs(pairs, fast=fastmode, backend=tmalign_backend,
+                            nthreads=max(threads, 0))
         mtx = np.asarray([max(t["qtm"], t["ttm"]) for t in tms]).reshape(len(qds), len(entries))
         mtx[mtx < mintm] = 0.0
 

@@ -228,8 +228,16 @@ class SearchEngine:
         block = self.stream_block
         # fused Pallas scan per superblock on TPU bf16; XLA scan otherwise
         fused = self.dtype == jnp.bfloat16 and jax.default_backend() == "tpu"
-        mult = pallas_scan.DEFAULT_TILE if fused else min(self.chunk, block)
         chunk = min(self.chunk, block)
+        # with a mesh, each staged superblock is itself row-sharded over the
+        # devices, so the aggregate HBM of the mesh sets the effective block
+        # size and every chip scans 1/ndev of each superblock
+        mult = self.ndev * (pallas_scan.DEFAULT_TILE if fused else chunk)
+        if self.mesh is not None:
+            axis = self.mesh.axis_names[0]
+            row_sh = NamedSharding(self.mesh, P(axis, None))
+            len_sh = NamedSharding(self.mesh, P(axis))
+            dq_cast = dq.astype(self.dtype) if fused else dq
 
         # host-side read+normalise+pad runs in a producer thread so disk/mem
         # traffic overlaps the (async-dispatched) device scan of the previous
@@ -246,10 +254,11 @@ class SearchEngine:
                     if npad != nb:
                         blk = np.concatenate(
                             [blk, np.zeros((npad - nb, blk.shape[1]), blk.dtype)])
-                    tl = None
+                    tl = np.full(npad, 1e9, np.float32) if use_len else None
                     if use_len:
-                        tl = np.full(npad, 1e9, np.float32)
                         tl[:nb] = lengths[off:off + nb]
+                    if self.mesh is not None and tl is None:
+                        tl = np.zeros(npad, np.float32)  # mesh fn takes tlen always
                     if self.dtype != jnp.float32:
                         blk = blk.astype(np.dtype("bfloat16"))
                     out_q.put((off, nb, blk, tl))
@@ -268,7 +277,18 @@ class SearchEngine:
             if isinstance(item, BaseException):
                 raise item
             off, nb, blk, tl = item
-            if fused:
+            if self.mesh is not None:
+                kk = min(k, nb)
+                key = ("stream", kk, use_len, fused)
+                if key not in self._mesh_fns:
+                    self._mesh_fns[key] = build_mesh_search(
+                        self.mesh, kk, chunk, float(mincov), use_len,
+                        self.selection, self.recall_target, fused=fused)
+                vals, idxs = self._mesh_fns[key](
+                    dq_cast, jax.device_put(blk, row_sh),
+                    jax.device_put(tl, len_sh),
+                    jnp.asarray([nb], jnp.int32), dqlen)
+            elif fused:
                 vals, idxs = pallas_scan.fused_topk(
                     dq.astype(self.dtype), jnp.asarray(blk), nb, min(k, nb),
                     tlen=jnp.asarray(tl) if use_len else None,

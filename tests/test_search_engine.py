@@ -127,6 +127,21 @@ def test_stream_mode_matches_device(tmp_path, rng):
     _assert_topk_close(vals, idxs, bv, bi)
 
 
+def test_stream_with_mesh_matches_bruteforce(tmp_path, rng):
+    """TED-style production config: larger-than-HBM DB streamed in
+    superblocks, each superblock row-sharded over the mesh."""
+    prefix, embs, _ = _make_db(tmp_path, rng, n=900, kind="mmap")
+    db = codecs.FlatDB.open(prefix)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("d",))
+    eng = SearchEngine(db, mesh=mesh, chunk=32, max_device_gb=1e-9)
+    assert eng.mode == "stream"
+    eng.stream_block = 300
+    q = rng.normal(size=(3, 128)).astype(np.float32)
+    vals, idxs = eng.search(q, k=11)
+    bv, bi = _brute_force(q, embs, 11)
+    _assert_topk_close(vals, idxs, bv, bi)
+
+
 def test_merge_partials():
     vals = jnp.asarray([[[3.0, 1.0]], [[2.5, 0.5]]])  # [P=2, Q=1, k=2]
     idxs = jnp.asarray([[[7, 3]], [[9, 1]]])
