@@ -201,6 +201,8 @@ def createdb(argv):
                    help="'pt' = reference small-DB layout; 'mmap' = large resumable layout.")
     p.add_argument("--resume", action="store_true", default=False)
     p.add_argument("--weights", type=str, default=None)
+    p.add_argument("--mesh", type=int, default=0,
+                   help="Embed data-parallel across this many devices.")
     _add_trace_flag(p)
     args = p.parse_args(argv)
     _apply_device(args.device)
@@ -211,7 +213,8 @@ def createdb(argv):
     t0 = time.time()
     with profiling.trace(args.trace):
         run_createdb(args.input_dir, args.out_db, weights=args.weights,
-                     fmt=args.db_format, resume=args.resume)
+                     fmt=args.db_format, resume=args.resume,
+                     mesh=_mesh(args.mesh))
     _finish("createdb", t0)
 
 

@@ -36,7 +36,7 @@ def list_pdb_files(input_dir: str) -> list[str]:
 
 def run_createdb(input_dir: str, out_db: str, weights: str | None = None,
                  fmt: str = "pt", resume: bool = False,
-                 chunk_files: int = 4096, params=None) -> int:
+                 chunk_files: int = 4096, params=None, mesh=None) -> int:
     """Build a database. Returns the number of entries written.
 
     fmt: "pt" (reference small-DB layout) or "mmap" (large, resumable).
@@ -86,7 +86,7 @@ def run_createdb(input_dir: str, out_db: str, weights: str | None = None,
             seqs.append(seq)
 
         if names:
-            embs = embed_structures(params, coords)
+            embs = embed_structures(params, coords, mesh=mesh)
             for j, name in enumerate(names):
                 if fmt == "mmap":
                     writer.add(os.path.basename(name).removesuffix(".pdb"),

@@ -42,24 +42,43 @@ def _batch_budget(bucket: int) -> int:
 
 
 def embed_structures(params, coords_list: list[np.ndarray],
-                     batch_budget=None) -> np.ndarray:
+                     batch_budget=None, mesh=None) -> np.ndarray:
     """Embed a list of [N_i, 3] float32 CA coordinate arrays -> [n, 128].
 
     Structures longer than MAX_RES are truncated (parity: makedb.py:68).
+    With a mesh, each length-bucket batch is sharded on the batch axis so
+    every device embeds 1/ndev of the structures (data parallel; XLA inserts
+    no collectives until the gather of the final [B,128] embeddings).
     """
+    import numpy as _np
+
+    ndev = 1
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        ndev = int(_np.prod(list(mesh.shape.values())))
+        sh3 = NamedSharding(mesh, P(axis, None, None))
+        sh2 = NamedSharding(mesh, P(axis, None))
+
     n = len(coords_list)
     out = np.zeros((n, fc.EMBED_DIM), dtype=np.float32)
     lengths = [min(len(c), MAX_RES) for c in coords_list]
     groups = group_by_bucket(lengths)
     for bucket, idxs in sorted(groups.items()):
-        bsz = batch_budget(bucket) if batch_budget else _batch_budget(bucket)
+        bsz = batch_budget(bucket) if batch_budget else _batch_budget(bucket) * ndev
+        bsz = ((bsz + ndev - 1) // ndev) * ndev
         for i0 in range(0, len(idxs), bsz):
             sel = idxs[i0:i0 + bsz]
-            batch = np.zeros((len(sel), bucket, 3), np.float32)
-            mask = np.zeros((len(sel), bucket), np.float32)
+            bpad = ((len(sel) + ndev - 1) // ndev) * ndev  # even device split
+            batch = np.zeros((bpad, bucket, 3), np.float32)
+            mask = np.zeros((bpad, bucket), np.float32)
             for bi, si in enumerate(sel):
                 c, m = pad_coords(coords_list[si][:MAX_RES], bucket)
                 batch[bi], mask[bi] = c, m
+            if mesh is not None:
+                batch = jax.device_put(batch, sh3)
+                mask = jax.device_put(mask, sh2)
             emb = np.asarray(fc.embed(params, batch, mask))
             for bi, si in enumerate(sel):
                 out[si] = emb[bi]

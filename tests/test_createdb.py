@@ -67,3 +67,16 @@ def test_embed_batched_equals_single(params, rng):
     batched = embed_structures(params, cl)
     singles = np.stack([embed_structures(params, [c])[0] for c in cl])
     np.testing.assert_allclose(batched, singles, atol=1e-4)
+
+
+def test_embed_mesh_data_parallel(params, rng):
+    """Mesh-sharded batch embedding must equal single-device results."""
+    import jax
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("d",))
+    sizes = [40, 40, 40, 64, 64, 100, 100]   # uneven count vs 4 devices
+    cl = [(rng.normal(size=(s, 3)) * 8).astype(np.float32) for s in sizes]
+    meshed = embed_structures(params, cl, mesh=mesh)
+    single = embed_structures(params, cl)
+    np.testing.assert_allclose(meshed, single, atol=1e-4)
