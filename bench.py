@@ -86,6 +86,28 @@ def tpu_qps():
     print(f"# tpu exact scan: {t*1e3:.2f} ms/batch of {N_QUERIES} "
           f"({gbps:.0f} GB/s, recall@{K}={rec:.4f}, rtt={rtt*1e3:.1f} ms)",
           file=sys.stderr)
+
+    # secondary: the int8 quantised scan (same kernel family, half the HBM
+    # traffic; exact top-k of the quantised scores)
+    try:
+        from merizo_search_tpu.ops.pallas_scan import fused_topk as ft, quantize_rows
+        db8 = jax.jit(lambda d: (d * jnp.bfloat16(127)).astype(jnp.int8))(db)
+        rs8 = jnp.full((DB_N,), jnp.float32(1 / 127.0))
+        q8 = (q0.astype(jnp.float32) * 127).astype(jnp.int8)
+
+        @jax.jit
+        def rep8(q8, db8, rs8):
+            def body(i, acc):
+                v, idx = ft(q8 + (i % 3).astype(jnp.int8), db8, DB_N, K, scales=rs8)
+                return acc + jnp.sum(v, axis=-1) + idx[:, 0].astype(jnp.float32)
+            return jax.lax.fori_loop(0, REPEATS, body, jnp.zeros((N_QUERIES,), jnp.float32))
+
+        _ = np.asarray(rep8(q8, db8, rs8))
+        t8 = (min(_timed(lambda: np.asarray(rep8(q8, db8, rs8))) for _ in range(3)) - rtt) / REPEATS
+        print(f"# tpu int8 scan:  {t8*1e3:.2f} ms/batch ({N_QUERIES/t8:.0f} q/s)",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"# int8 scan skipped: {e}", file=sys.stderr)
     return qps, rec
 
 

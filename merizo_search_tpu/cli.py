@@ -85,6 +85,12 @@ def _add_search_flags(p: argparse.ArgumentParser):
                         "automatically.")
     p.add_argument("--mesh", type=int, default=0,
                    help="Shard the DB across this many devices (0 = single device).")
+    p.add_argument("--precision", type=str, default="bf16",
+                   choices=["fp32", "bf16", "int8"],
+                   help="On-device DB storage for the scan: bf16 halves HBM "
+                        "traffic with ~1e-3 cosine rounding (exact top-k of "
+                        "the rounded scores); int8 quarters it (~1e-2); fp32 "
+                        "is bit-faithful to the reference's scores.")
     p.add_argument("--weights", type=str, default=None,
                    help="Path to a converted Foldclass checkpoint (.pt).")
 
@@ -238,7 +244,8 @@ def _do_search(args, inputs, inputs_are_ca, pdb_chain, fields_default):
         inputs_are_ca=inputs_are_ca, pdb_chain=pdb_chain,
         skip_tmalign=args.skip_tmalign, search_batchsize=args.search_batchsize,
         mesh=_mesh(args.mesh), weights=args.weights,
-        tmalign_backend=args.tmalign_backend, threads=max(args.threads, 0))
+        tmalign_backend=args.tmalign_backend, threads=max(args.threads, 0),
+        precision=args.precision)
 
     write_search_results(results, search_output, fields,
                          header=args.output_headers, metadata_json=args.metadata_json)

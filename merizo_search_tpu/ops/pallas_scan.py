@@ -40,13 +40,22 @@ DEFAULT_TILE = 16384  # DB rows per grid step: bf16 tile = 4 MB VMEM
 NEG_INF = jnp.float32(-jnp.inf)
 
 
-def _bm_kernel(nv_ref, q_ref, db_ref, tlen_ref, qcap_ref, bm_ref, *, tile,
-               use_len):
+def _bm_kernel(nv_ref, q_ref, db_ref, tlen_ref, qcap_ref, *rest, tile,
+               use_len, quantized):
     """One grid step: scores for a [tile, D] DB slab -> block maxima."""
-    s = jax.lax.dot_general(
-        q_ref[:], db_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)              # [Qp, tile]
+    if quantized:
+        rs_ref, bm_ref = rest
+        s = jax.lax.dot_general(
+            q_ref[:], db_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)            # int8 MXU path
+        s = s.astype(jnp.float32) * rs_ref[:]            # per-row dequant
+    else:
+        (bm_ref,) = rest
+        s = jax.lax.dot_general(
+            q_ref[:], db_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [Qp, tile]
     ci = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
     gi = pl.program_id(0) * tile + ci
     mask = gi < nv_ref[0]                                # [1, tile]
@@ -54,40 +63,70 @@ def _bm_kernel(nv_ref, q_ref, db_ref, tlen_ref, qcap_ref, bm_ref, *, tile,
         # keep target iff qlen >= tlen * mincov  <=>  tlen <= qlen/mincov
         mask = jnp.logical_and(mask, tlen_ref[:] <= qcap_ref[:, 0:1])
     s = jnp.where(mask, s, float("-inf"))
-    bm_ref[:] = jnp.max(s.reshape(s.shape[0], tile // BLOCK, BLOCK),
-                        axis=-1).reshape(1, s.shape[0], tile // BLOCK)
+    bm = jnp.max(s.reshape(s.shape[0], tile // BLOCK, BLOCK), axis=-1)
+    bm_ref[:] = bm.reshape(bm_ref.shape)
 
 
 @partial(jax.jit, static_argnames=("tile", "use_len", "interpret"))
 def blockmax_scan(q, db, n_valid, tlen, qcap, tile=DEFAULT_TILE,
-                  use_len=False, interpret=False):
+                  use_len=False, interpret=False, scales=None):
     """Phase A. q [Qp,D] (same dtype as db), db [Npad,D] with Npad % tile == 0,
     tlen [Npad] f32 target lengths, qcap [Qp] f32 = qlen/mincov.
+    scales [Npad] f32: per-row dequantisation scales for int8 DBs.
     Returns BM [Qp, Npad/BLOCK] f32 block maxima (masked entries -inf)."""
     qp, d = q.shape
     npad = db.shape[0]
     grid = npad // tile
-    kernel = partial(_bm_kernel, tile=tile, use_len=use_len)
-    # out is [step, Qp, tile/BLOCK] so every step's block has fully-aligned
-    # trailing dims regardless of tile; transposed to [Qp, NB] afterwards
-    # (a few MB at most, negligible next to the scan).
+    quantized = scales is not None
+    kernel = partial(_bm_kernel, tile=tile, use_len=use_len,
+                     quantized=quantized)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),                    # n_valid [1]
+        pl.BlockSpec((qp, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        pl.BlockSpec((qp, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [jnp.asarray([n_valid], jnp.int32), q, db,
+            tlen.reshape(1, npad), qcap.reshape(qp, 1)]
+    if quantized:
+        in_specs.append(pl.BlockSpec((1, tile), lambda i: (0, i),
+                                     memory_space=pltpu.VMEM))
+        args.append(scales.reshape(1, npad))
+    if (tile // BLOCK) % 128 == 0:
+        # production tile: each step's [Qp, tile/BLOCK] slab is lane-aligned,
+        # so BM is written directly in its final [Qp, NB] layout
+        out_specs = pl.BlockSpec((qp, tile // BLOCK), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((qp, npad // BLOCK), jnp.float32)
+        post = lambda bm: bm
+    else:
+        # small tiles (tests, fp32 recall checks): write [step, Qp, tile/BLOCK]
+        # so trailing block dims stay aligned, then transpose (a few MB)
+        out_specs = pl.BlockSpec((1, qp, tile // BLOCK), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((grid, qp, tile // BLOCK), jnp.float32)
+        post = lambda bm: bm.transpose(1, 0, 2).reshape(qp, npad // BLOCK)
     bm = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),                    # n_valid [1]
-            pl.BlockSpec((qp, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((qp, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, qp, tile // BLOCK), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((grid, qp, tile // BLOCK), jnp.float32),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
-    )(jnp.asarray([n_valid], jnp.int32), q, db,
-      tlen.reshape(1, npad), qcap.reshape(qp, 1))
-    return bm.transpose(1, 0, 2).reshape(qp, npad // BLOCK)
+    )(*args)
+    return post(bm)
+
+
+def quantize_rows(x: np.ndarray):
+    """Symmetric per-row int8 quantisation for the int8 scan path.
+
+    Returns (q int8 [N,D], scales f32 [N]) with x ~ q * scales[:,None]."""
+    x = np.asarray(x, np.float32)
+    a = np.max(np.abs(x), axis=1)
+    s = np.where(a > 0, a / 127.0, 1.0).astype(np.float32)
+    qv = np.clip(np.rint(x / s[:, None]), -127, 127).astype(np.int8)
+    return qv, s
 
 
 SUB = 32  # subblock width for the recursive cover select
@@ -111,8 +150,16 @@ def _topk_entries(x, k):
             v = jnp.pad(v, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
             i = jnp.pad(i, ((0, 0), (0, k - kk)))
         return v, i.astype(jnp.int32)
-    nsb = w // SUB
-    sb = x.reshape(qn, nsb, SUB)
+    # adaptive subblock width: wider groups for very wide rows so the
+    # [Q, k, W/sub] one-hot gather operand stays a few tens of MB
+    sub = SUB
+    while w // sub > 2048 and w % (sub * 4) == 0:
+        sub *= 4
+    nsb = w // sub
+    if nsb <= 2 * k:  # no meaningful reduction left: sort directly
+        v, i = jax.lax.top_k(x, min(k, w))
+        return v, i.astype(jnp.int32)
+    sb = x.reshape(qn, nsb, sub)
     sm = jnp.max(sb, axis=-1)                            # [Q, nsb]
     kk = min(k, nsb)
     _, sbi = _topk_entries(sm, kk)                       # cover subblocks
@@ -126,9 +173,9 @@ def _topk_entries(x, k):
                       preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)
     cand = jnp.where(cand <= -3.0e38, -jnp.inf, cand)
-    cidx = sbi[:, :, None] * SUB + jnp.arange(SUB)[None, None, :]
-    v, sel = jax.lax.top_k(cand.reshape(qn, kk * SUB), k)
-    idx = jnp.take_along_axis(cidx.reshape(qn, kk * SUB), sel, axis=1)
+    cidx = sbi[:, :, None] * sub + jnp.arange(sub)[None, None, :]
+    v, sel = _topk_entries(cand.reshape(qn, kk * sub), k)
+    idx = jnp.take_along_axis(cidx.reshape(qn, kk * sub), sel, axis=1)
     return v, idx.astype(jnp.int32)
 
 
@@ -137,53 +184,62 @@ GATHER_G = 8  # blocks gathered per grid step in the phase-C kernel
 
 @partial(jax.jit, static_argnames=("use_len", "interpret"))
 def gather_block_scores(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
-                        interpret=False):
+                        interpret=False, scales=None):
     """Phase C gather: recompute masked scores of selected DB blocks.
 
     q [Qp,D], db [Npad,D], tlen2d [NB,BLOCK] f32, qcap [Qp] f32,
-    bidx [Qp,KB] i32 (KB % GATHER_G == 0; -1 entries are padding).
+    bidx [Qp,KB] i32 (KB % GATHER_G == 0; -1 entries are padding),
+    scales [Npad] f32 per-row dequant scales for int8 DBs (else None).
     Returns scores [Qp, KB*BLOCK] f32, -inf where masked/padded.
 
     The scalar-prefetched bidx drives the BlockSpec index maps, so Mosaic's
     pipeline DMAs exactly the selected 32 KB block slabs from HBM —
     a gather at near-streaming bandwidth instead of XLA's per-slice take.
+
+    int8 path: blocks (and q) hold integers in [-127,127]; casting them to
+    bf16 is exact, MXU products of such integers are formed exactly and
+    accumulated in fp32 (sums < 2^24), so the recomputed integer dot equals
+    phase A's int32 MXU result bit-for-bit before the scale multiply.
     """
     qp, d = q.shape
     nb = db.shape[0] // BLOCK
     kb = bidx.shape[1]
     g = GATHER_G
+    quantized = scales is not None
     dbb = db.reshape(nb, BLOCK, d)
 
-    def db_map(gg):
-        return lambda i, j, bidx_ref, nv_ref, qcap_ref: (
-            jnp.maximum(bidx_ref[i, j * g + gg], 0), 0, 0)
-
-    def tl_map(gg):
+    def blk_map(gg):
         return lambda i, j, bidx_ref, nv_ref, qcap_ref: (
             jnp.maximum(bidx_ref[i, j * g + gg], 0), 0, 0)
 
     in_specs = [
         pl.BlockSpec((qp, d), lambda i, j, *_: (0, 0), memory_space=pltpu.VMEM),
     ] + [
-        pl.BlockSpec((1, BLOCK, d), db_map(gg), memory_space=pltpu.VMEM)
+        pl.BlockSpec((1, BLOCK, d), blk_map(gg), memory_space=pltpu.VMEM)
         for gg in range(g)
     ]
     args = [q] + [dbb] * g
     if use_len:
-        in_specs += [pl.BlockSpec((1, 1, BLOCK), tl_map(gg),
+        in_specs += [pl.BlockSpec((1, 1, BLOCK), blk_map(gg),
                                   memory_space=pltpu.VMEM) for gg in range(g)]
         args += [tlen2d.reshape(nb, 1, BLOCK)] * g
+    if quantized:
+        in_specs += [pl.BlockSpec((1, 1, BLOCK), blk_map(gg),
+                                  memory_space=pltpu.VMEM) for gg in range(g)]
+        args += [scales.reshape(nb, 1, BLOCK)] * g
 
     def kernel(bidx_ref, nv_ref, qcap_ref, q_ref, *rest):
         out_ref = rest[-1]
         db_vals = [rest[gg][:].reshape(BLOCK, d) for gg in range(g)]
         i, j = pl.program_id(0), pl.program_id(1)
         blocks = jnp.concatenate(db_vals, axis=0)                # [g*BLOCK, D]
+        if quantized:
+            blocks = blocks.astype(jnp.bfloat16)                 # exact ints
         # extract query row i without a dynamic sublane slice (Mosaic needs
         # statically aligned slices): one-hot mask + sum over the tiny q block
         rows = jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[0], 1), 0)
         q_row = jnp.sum(jnp.where(rows == i, q_ref[:], 0).astype(jnp.float32),
-                        axis=0, keepdims=True).astype(q_ref.dtype)  # [1, D]
+                        axis=0, keepdims=True).astype(blocks.dtype)  # [1, D]
         s = jax.lax.dot_general(
             q_row, blocks, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)                  # [1, g*BLOCK]
@@ -191,10 +247,17 @@ def gather_block_scores(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
         cols = jnp.concatenate(
             [bidx_ref[i, j * g + gg] * BLOCK + lane for gg in range(g)], axis=1)
         mask = jnp.logical_and(cols >= 0, cols < nv_ref[0])      # bidx<0 = pad
+        base = 1
         if use_len:
             tl = jnp.concatenate(
                 [rest[g + gg][:].reshape(1, BLOCK) for gg in range(g)], axis=1)
             mask = jnp.logical_and(mask, tl <= qcap_ref[i])
+            base = 2
+        if quantized:
+            rs = jnp.concatenate(
+                [rest[base * g + gg][:].reshape(1, BLOCK) for gg in range(g)],
+                axis=1)
+            s = s * rs
         s = jnp.where(mask, s, float("-inf"))
         out_ref[:] = s.reshape(1, 1, g, BLOCK)
 
@@ -216,18 +279,23 @@ def gather_block_scores(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
 
 @partial(jax.jit, static_argnames=("k", "tile", "use_len", "interpret"))
 def fused_topk(q, db, n_valid, k, tlen=None, qlen=None, mincov=0.0,
-               tile=DEFAULT_TILE, use_len=False, interpret=False):
+               tile=DEFAULT_TILE, use_len=False, interpret=False,
+               scales=None):
     """Exact top-k inner-product search with the fused Pallas scan.
 
     q    [Q, D]  queries, same dtype as db (bf16 on the production path)
     db   [Npad, D], Npad % tile == 0, rows >= n_valid are padding
+    scales [Npad] f32: per-row dequant scales when db is int8-quantised.
+        The int8 scan halves HBM traffic and uses the 2x-rate int8 MXU
+        path; results are the exact top-k of the *quantised* scores
+        (cosine error ~ the 1/255 row quantisation step).
     Returns (scores [Q,k] f32, indices [Q,k] i32), descending; masked/padded
     entries carry -inf / -1.
     """
     qn, d = q.shape
     npad = db.shape[0]
     # pad queries to the sublane multiple of the storage dtype
-    sub = 16 if q.dtype == jnp.bfloat16 else 8
+    sub = 16 if q.dtype == jnp.bfloat16 else (32 if q.dtype == jnp.int8 else 8)
     qp = ((qn + sub - 1) // sub) * sub
     if qp != qn:
         q = jnp.pad(q, ((0, qp - qn), (0, 0)))
@@ -240,7 +308,7 @@ def fused_topk(q, db, n_valid, k, tlen=None, qlen=None, mincov=0.0,
 
     # Phase A: block maxima at HBM bandwidth
     bm = blockmax_scan(q, db, n_valid, tl, qcap, tile=tile, use_len=use_len,
-                       interpret=interpret)              # [Qp, NB]
+                       interpret=interpret, scales=scales)  # [Qp, NB]
 
     # Phase B: exact top-k blocks per query
     nb = npad // BLOCK
@@ -251,8 +319,10 @@ def fused_topk(q, db, n_valid, k, tlen=None, qlen=None, mincov=0.0,
     # gather at streaming bandwidth) and take the final exact top-k.
     kbp = ((kb + GATHER_G - 1) // GATHER_G) * GATHER_G
     bidx = jnp.pad(bidx, ((0, 0), (0, kbp - kb)), constant_values=-1)
-    scores = gather_block_scores(q, db, tl.reshape(nb, BLOCK), qcap, bidx,
-                                 n_valid, use_len=use_len, interpret=interpret)
+    qc = q.astype(jnp.bfloat16) if scales is not None else q
+    scores = gather_block_scores(qc, db, tl.reshape(nb, BLOCK), qcap, bidx,
+                                 n_valid, use_len=use_len, interpret=interpret,
+                                 scales=scales)
     ridx = (bidx[:, :, None] * BLOCK
             + jnp.arange(BLOCK)[None, None, :]).reshape(qp, kbp * BLOCK)
     v, sel = _topk_entries(scores, k)

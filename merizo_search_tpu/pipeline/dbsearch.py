@@ -64,7 +64,8 @@ def run_dbsearch(inputs, db_name: str, topk: int = 1, fastmode: bool = False,
                  skip_tmalign: bool = False, search_batchsize: int = 2 ** 21,
                  mesh=None, params=None, weights: str | None = None,
                  engine: SearchEngine | None = None,
-                 tmalign_backend: str = "auto", threads: int = 0):
+                 tmalign_backend: str = "auto", threads: int = 0,
+                 precision: str = "bf16"):
     """Search queries against a database.
 
     inputs: list of PDB paths, or (inputs_are_ca=True) of dicts with
@@ -83,8 +84,13 @@ def run_dbsearch(inputs, db_name: str, topk: int = 1, fastmode: bool = False,
     queries = _query_dicts(inputs, inputs_are_ca, chains)
 
     if engine is None:
+        import jax.numpy as jnp
+
         db = FlatDB.open(db_name)
-        engine = SearchEngine(db, mesh=mesh, stream_block=search_batchsize)
+        dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16,
+                 "int8": jnp.int8}[precision]
+        engine = SearchEngine(db, mesh=mesh, stream_block=search_batchsize,
+                              dtype=dtype)
     db = engine.db
     use_cov_filters = db.kind == "pt"
 

@@ -116,15 +116,18 @@ class SearchEngine:
         self.chunk = min(chunk, 1 << 20)
         self._resident = None
         self._mesh_fns = {}
-        # fused Pallas scan: the production path for bf16 DBs resident in TPU
-        # HBM (single chip or mesh-sharded — each chip scans its own shard).
-        # "auto" falls back to the XLA scan off-TPU and for DBs too small to
-        # amortise the tile padding.
+        # fused Pallas scan: the production path for bf16/int8 DBs resident in
+        # TPU HBM (single chip or mesh-sharded — each chip scans its own
+        # shard). "auto" falls back to the XLA scan off-TPU and for DBs too
+        # small to amortise the tile padding.
+        self.quantized = dtype == jnp.int8
         self._fused = (
             selection in ("exact", "fused")
-            and dtype == jnp.bfloat16
+            and (dtype == jnp.bfloat16 or self.quantized)
             and db.size >= ndev * pallas_scan.DEFAULT_TILE
             and jax.default_backend() == "tpu")
+        if self.quantized and self._fused and mesh is not None:
+            raise NotImplementedError("int8 DBs are not mesh-sharded yet")
 
     # -- residency ----------------------------------------------------------
     def _load_resident(self):
@@ -146,7 +149,16 @@ class SearchEngine:
         if npad != n:
             emb = np.concatenate([emb, np.zeros((npad - n, emb.shape[1]), emb.dtype)])
             lengths = np.concatenate([lengths, np.full(npad - n, 1e9, np.float32)])
-        if self.dtype != jnp.float32:
+        self._dscale = None
+        if self.quantized:
+            emb, rscale = pallas_scan.quantize_rows(emb)  # pad rows -> 0, scale 1
+            if self._fused:
+                self._dscale = jax.device_put(rscale)
+            else:
+                # off-TPU (tests): dequantise and take the XLA f32 path, so
+                # the int8 plumbing stays end-to-end testable anywhere
+                emb = emb.astype(np.float32) * rscale[:, None]
+        elif self.dtype != jnp.float32:
             emb = emb.astype(np.dtype("bfloat16") if self.dtype == jnp.bfloat16 else emb.dtype)
         if self.mesh is not None:
             axis = self.mesh.axis_names[0]
@@ -189,6 +201,15 @@ class SearchEngine:
                 vals, idxs = self._mesh_fns[key](
                     qd, self._demb, self._dlen,
                     jnp.asarray([self._n_valid], jnp.int32), jnp.asarray(qlen))
+            elif self._fused and self.quantized:
+                q8, qs = pallas_scan.quantize_rows(q)
+                vals, idxs = pallas_scan.fused_topk(
+                    jnp.asarray(q8), self._demb, self._n_valid, k_eff,
+                    tlen=self._dlen, qlen=jnp.asarray(qlen),
+                    mincov=float(mincov), use_len=use_len,
+                    scales=self._dscale)
+                # per-query dequantisation (positive, so -inf stays -inf)
+                vals = vals * jnp.asarray(qs)[:, None]
             elif self._fused:
                 vals, idxs = pallas_scan.fused_topk(
                     jnp.asarray(q).astype(self.dtype), self._demb,

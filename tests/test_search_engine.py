@@ -142,6 +142,34 @@ def test_stream_with_mesh_matches_bruteforce(tmp_path, rng):
     _assert_topk_close(vals, idxs, bv, bi)
 
 
+def test_int8_engine_plumbing(tmp_path, rng):
+    """int8 engine off-TPU dequantises and must stay close to brute force
+    (quantisation error ~1/255 per row)."""
+    prefix, embs, _ = _make_db(tmp_path, rng, n=400)
+    db = codecs.FlatDB.open(prefix)
+    eng = SearchEngine(db, chunk=64, dtype=jnp.int8)
+    assert eng.quantized
+    q = rng.normal(size=(4, 128)).astype(np.float32)
+    vals, idxs = eng.search(q, k=10)
+    bv, bi = _brute_force(q, embs, 10)
+    _assert_topk_close(vals, idxs, bv, bi, atol=0.01)
+    # quantised top-1 should match exactly on well-separated self-queries
+    q2 = embs[:3]
+    v2, i2 = eng.search(q2, k=1)
+    np.testing.assert_array_equal(i2[:, 0], np.arange(3))
+
+
+def test_quantize_rows_roundtrip(rng):
+    from merizo_search_tpu.ops.pallas_scan import quantize_rows
+
+    x = rng.normal(size=(50, 128)).astype(np.float32)
+    x[7] = 0.0  # zero row must not divide by zero
+    q8, s = quantize_rows(x)
+    assert q8.dtype == np.int8 and np.abs(q8).max() <= 127
+    np.testing.assert_allclose(q8.astype(np.float32) * s[:, None], x,
+                               atol=np.abs(x).max() / 127 / 2 + 1e-7)
+
+
 def test_merge_partials():
     vals = jnp.asarray([[[3.0, 1.0]], [[2.5, 0.5]]])  # [P=2, Q=1, k=2]
     idxs = jnp.asarray([[[7, 3]], [[9, 1]]])
