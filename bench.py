@@ -91,9 +91,13 @@ def tpu_qps():
     # traffic; exact top-k of the quantised scores)
     try:
         from merizo_search_tpu.ops.pallas_scan import fused_topk as ft, quantize_rows
-        db8 = jax.jit(lambda d: (d * jnp.bfloat16(127)).astype(jnp.int8))(db)
-        rs8 = jnp.full((DB_N,), jnp.float32(1 / 127.0))
-        q8 = (q0.astype(jnp.float32) * 127).astype(jnp.int8)
+        # scale 40 keeps ~99.8% of N(0,1) entries in range; clip the rest so
+        # the int8 data is well-defined (values only matter for timing)
+        db8 = jax.jit(lambda d: jnp.clip(d * jnp.bfloat16(40), -127, 127)
+                      .astype(jnp.int8))(db)
+        rs8 = jnp.full((DB_N,), jnp.float32(1 / 40.0))
+        q8 = np.clip(np.asarray(q0, np.float32) * 124, -124, 124).astype(np.int8)
+        q8 = jnp.asarray(q8)  # +(i%3) perturbation stays within int8
 
         @jax.jit
         def rep8(q8, db8, rs8):

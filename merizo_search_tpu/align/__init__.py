@@ -3,7 +3,7 @@
 Two interchangeable TM-align implementations replace the reference's
 per-pair TM-align subprocess (programs/Foldclass/utils.py:75-109):
 
-- "native": in-process C++ library (native/tmalign.cpp) with a std::thread
+- "native": in-process C++ library (merizo_search_tpu/align/_native/tmalign.cpp) with a std::thread
   batch API — the drop-in for the reference's bundled C++ binary, built on
   first use. Fast, sequential algorithm, best alignment quality.
 - "tpu": batched JAX reimplementation (align/tmalign.py) — every pair in a

@@ -35,7 +35,14 @@ static inline double dot(const V3& a, const V3& b) { return a.x * b.x + a.y * b.
 static inline double dist2(const V3& a, const V3& b) { V3 d = sub(a, b); return dot(d, d); }
 static inline double dist(const V3& a, const V3& b) { return std::sqrt(dist2(a, b)); }
 
-struct Rot { double u[3][3]; double t[3]; };
+// Rot default-constructs to the identity transform: several call sites use
+// the best rotation found by a search that can legitimately find none
+// (alignments with < 3 pairs), and must then see a valid transform rather
+// than uninitialized memory.
+struct Rot {
+  double u[3][3] = {{1, 0, 0}, {0, 1, 0}, {0, 0, 1}};
+  double t[3] = {0, 0, 0};
+};
 
 static inline V3 apply(const Rot& r, const V3& p) {
   return {r.t[0] + r.u[0][0] * p.x + r.u[0][1] * p.y + r.u[0][2] * p.z,

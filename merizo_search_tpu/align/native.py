@@ -1,4 +1,4 @@
-"""ctypes bindings for the native C++ TM-align (native/tmalign.cpp).
+"""ctypes bindings for the native C++ TM-align (merizo_search_tpu/align/_native/tmalign.cpp).
 
 The reference invokes its bundled TM-align binary as a subprocess per
 query-hit pair, round-tripping PDBs through /tmp (programs/Foldclass/
@@ -6,9 +6,10 @@ utils.py:75-109). Here the aligner is an in-process shared library with a
 std::thread batch entry point: no fork+exec, no file I/O, one call per
 rescoring batch.
 
-The library is compiled on first use with g++ (-O3) and cached next to the
-sources; `available()` reports whether a working build exists so callers can
-fall back to the batched TPU aligner (align/tmalign.py).
+The library is compiled on first use with g++ (-O3) into the user cache
+($MERIZO_TPU_CACHE or ~/.cache/merizo_tpu); `available()` reports whether a
+working build exists so callers can fall back to the batched TPU aligner
+(align/tmalign.py).
 """
 
 from __future__ import annotations
@@ -23,26 +24,41 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__)))), "native", "tmalign.cpp")
-_LIB = os.path.join(os.path.dirname(_SRC), "libtmalign.so")
+_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    "_native", "tmalign.cpp")
 
 _lock = threading.Lock()
 _lib = None
 _build_failed = False
 
 
-def _build() -> str | None:
-    if os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
-        return _LIB
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-           "-o", _LIB, _SRC, "-lpthread"]
+def _lib_path() -> str:
+    """Build target in a writable cache dir (site-packages may be read-only),
+    keyed by source mtime so edits force a rebuild."""
+    cache = os.environ.get(
+        "MERIZO_TPU_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "merizo_tpu"))
     try:
+        tag = int(os.path.getmtime(_SRC))
+    except OSError:
+        tag = 0
+    return os.path.join(cache, f"libtmalign-{tag}.so")
+
+
+def _build() -> str | None:
+    try:
+        lib = _lib_path()
+        if os.path.exists(lib):
+            return lib
+        os.makedirs(os.path.dirname(lib), exist_ok=True)
+        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+               "-o", lib, _SRC, "-lpthread"]
         subprocess.run(cmd, check=True, capture_output=True, timeout=300)
-        return _LIB
+        return lib
     except (subprocess.SubprocessError, OSError) as e:
         err = getattr(e, "stderr", b"") or b""
-        logger.warning("native tmalign build failed: %s %s", e, err.decode()[:500])
+        logger.warning("native tmalign build failed: %s %s", e,
+                       err.decode()[:500] if isinstance(err, bytes) else err)
         return None
 
 

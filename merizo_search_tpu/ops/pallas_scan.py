@@ -60,7 +60,8 @@ def _bm_kernel(nv_ref, q_ref, db_ref, tlen_ref, qcap_ref, *rest, tile,
     gi = pl.program_id(0) * tile + ci
     mask = gi < nv_ref[0]                                # [1, tile]
     if use_len:
-        # keep target iff qlen >= tlen * mincov  <=>  tlen <= qlen/mincov
+        # tlen_ref holds tlen*mincov and qcap_ref holds qlen, so this is
+        # exactly the reference's keep-iff qlen >= tlen*mincov
         mask = jnp.logical_and(mask, tlen_ref[:] <= qcap_ref[:, 0:1])
     s = jnp.where(mask, s, float("-inf"))
     bm = jnp.max(s.reshape(s.shape[0], tile // BLOCK, BLOCK), axis=-1)
@@ -299,11 +300,15 @@ def fused_topk(q, db, n_valid, k, tlen=None, qlen=None, mincov=0.0,
     qp = ((qn + sub - 1) // sub) * sub
     if qp != qn:
         q = jnp.pad(q, ((0, qp - qn), (0, 0)))
-    tl = (tlen if tlen is not None else jnp.zeros((npad,), jnp.float32))
+    # the kernels mask with tl_scaled <= qcap; feeding tl_scaled = tlen*mincov
+    # and qcap = qlen makes the comparison bit-identical to the XLA path's
+    # qlen >= tlen*mincov (reference dbsearch.py:76) — dividing qlen by mincov
+    # instead would disagree at f32 coverage boundaries.
     if use_len:
-        qcap = qlen / jnp.maximum(jnp.float32(mincov), 1e-9)
-        qcap = jnp.pad(qcap, (0, qp - qn)) if qp != qn else qcap
+        tl = tlen * jnp.float32(mincov)
+        qcap = jnp.pad(qlen, (0, qp - qn)) if qp != qn else qlen
     else:
+        tl = (tlen if tlen is not None else jnp.zeros((npad,), jnp.float32))
         qcap = jnp.full((qp,), jnp.float32(np.inf))
 
     # Phase A: block maxima at HBM bandwidth

@@ -50,14 +50,12 @@ def embed_structures(params, coords_list: list[np.ndarray],
     every device embeds 1/ndev of the structures (data parallel; XLA inserts
     no collectives until the gather of the final [B,128] embeddings).
     """
-    import numpy as _np
-
     ndev = 1
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         axis = mesh.axis_names[0]
-        ndev = int(_np.prod(list(mesh.shape.values())))
+        ndev = int(np.prod(list(mesh.shape.values())))
         sh3 = NamedSharding(mesh, P(axis, None, None))
         sh2 = NamedSharding(mesh, P(axis, None))
 

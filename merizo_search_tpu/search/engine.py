@@ -109,7 +109,7 @@ class SearchEngine:
         self.recall_target = recall_target
         ndev = 1 if mesh is None else int(np.prod(list(mesh.shape.values())))
         self.ndev = ndev
-        itemsize = np.dtype("float32").itemsize if dtype == jnp.float32 else 2
+        itemsize = {jnp.float32: 4, jnp.bfloat16: 2, jnp.int8: 1}.get(dtype, 4)
         db_bytes = db.size * db.dim * itemsize
         budget = max_device_gb * (1 << 30) * ndev
         self.mode = "device" if db_bytes <= budget else "stream"
@@ -126,7 +126,7 @@ class SearchEngine:
             and (dtype == jnp.bfloat16 or self.quantized)
             and db.size >= ndev * pallas_scan.DEFAULT_TILE
             and jax.default_backend() == "tpu")
-        if self.quantized and self._fused and mesh is not None:
+        if self.quantized and mesh is not None:
             raise NotImplementedError("int8 DBs are not mesh-sharded yet")
 
     # -- residency ----------------------------------------------------------
@@ -247,8 +247,10 @@ class SearchEngine:
         lengths = self.db.lengths().astype(np.float32) if use_len else None
         partial_vals, partial_idxs = [], []
         block = self.stream_block
-        # fused Pallas scan per superblock on TPU bf16; XLA scan otherwise
-        fused = self.dtype == jnp.bfloat16 and jax.default_backend() == "tpu"
+        # fused Pallas scan per superblock on TPU bf16/int8; XLA scan otherwise
+        on_tpu = jax.default_backend() == "tpu"
+        fused = (self.dtype == jnp.bfloat16 or self.quantized) and on_tpu
+        quant = self.quantized and on_tpu
         chunk = min(self.chunk, block)
         # with a mesh, each staged superblock is itself row-sharded over the
         # devices, so the aggregate HBM of the mesh sets the effective block
@@ -259,6 +261,7 @@ class SearchEngine:
             row_sh = NamedSharding(self.mesh, P(axis, None))
             len_sh = NamedSharding(self.mesh, P(axis))
             dq_cast = dq.astype(self.dtype) if fused else dq
+        dq8 = dqs = None  # lazy int8 query quantisation (quant path)
 
         # host-side read+normalise+pad runs in a producer thread so disk/mem
         # traffic overlaps the (async-dispatched) device scan of the previous
@@ -280,9 +283,15 @@ class SearchEngine:
                         tl[:nb] = lengths[off:off + nb]
                     if self.mesh is not None and tl is None:
                         tl = np.zeros(npad, np.float32)  # mesh fn takes tlen always
-                    if self.dtype != jnp.float32:
+                    rs = None
+                    if quant:
+                        blk, rs = pallas_scan.quantize_rows(blk)
+                    elif self.quantized:
+                        # int8 requested off-TPU: dequantised-equivalent f32
+                        pass
+                    elif self.dtype != jnp.float32:
                         blk = blk.astype(np.dtype("bfloat16"))
-                    out_q.put((off, nb, blk, tl))
+                    out_q.put((off, nb, blk, tl, rs))
                 out_q.put(None)
             except BaseException as e:  # surface IO errors to the consumer
                 out_q.put(e)
@@ -297,10 +306,10 @@ class SearchEngine:
                 break
             if isinstance(item, BaseException):
                 raise item
-            off, nb, blk, tl = item
+            off, nb, blk, tl, rs = item
             if self.mesh is not None:
                 kk = min(k, nb)
-                key = ("stream", kk, use_len, fused)
+                key = ("stream", kk, use_len, fused, float(mincov))
                 if key not in self._mesh_fns:
                     self._mesh_fns[key] = build_mesh_search(
                         self.mesh, kk, chunk, float(mincov), use_len,
@@ -309,6 +318,16 @@ class SearchEngine:
                     dq_cast, jax.device_put(blk, row_sh),
                     jax.device_put(tl, len_sh),
                     jnp.asarray([nb], jnp.int32), dqlen)
+            elif quant:
+                if dq8 is None:
+                    q8_np, qs_np = pallas_scan.quantize_rows(np.asarray(q))
+                    dq8, dqs = jnp.asarray(q8_np), jnp.asarray(qs_np)
+                vals, idxs = pallas_scan.fused_topk(
+                    dq8, jnp.asarray(blk), nb, min(k, nb),
+                    tlen=jnp.asarray(tl) if use_len else None,
+                    qlen=dqlen if use_len else None, mincov=float(mincov),
+                    use_len=use_len, scales=jnp.asarray(rs))
+                vals = vals * dqs[:, None]
             elif fused:
                 vals, idxs = pallas_scan.fused_topk(
                     dq.astype(self.dtype), jnp.asarray(blk), nb, min(k, nb),

@@ -17,7 +17,9 @@ db=$1
 out=$2
 [ -d "$out" ] && [ -w "$out" ] || { echo "$out: not a writable directory" >&2; exit 1; }
 
-W="wget --no-clobber -c --tries=0 --retry-connrefused"
+# -c resumes partial files; --no-clobber is incompatible with -O (wget
+# exits 1 when the file exists, which would abort the whole run under set -e)
+W="wget -c --tries=0 --retry-connrefused"
 
 case "$db" in
   ted)

@@ -1,4 +1,4 @@
-"""Tests for the native C++ TM-align library (native/tmalign.cpp).
+"""Tests for the native C++ TM-align library (merizo_search_tpu/align/_native/tmalign.cpp).
 
 Built on first use via g++; validates TM-score conventions (self-alignment,
 fragment normalisation asymmetry), robustness on real structures, agreement

@@ -73,6 +73,30 @@ def test_fused_topk_mincov(problem):
     np.testing.assert_allclose(np.asarray(v), rv, atol=2e-6)
 
 
+def test_fused_mincov_boundary_matches_xla(rng):
+    """f32 coverage boundaries: qlen=9, tlen=30, mincov=0.3 — 9 >= 30*0.3f
+    keeps the hit in f32 (30*0.3f = 8.9999997), and the fused path must
+    agree with the XLA scan exactly (it once divided qlen/mincov instead,
+    masking such hits)."""
+    from merizo_search_tpu.ops.topk import topk_scan
+
+    n, k = 512, 8
+    db = rng.normal(size=(n, 128)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    q = rng.normal(size=(3, 128)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    tlen = np.full(n, 30.0, np.float32)
+    qlen = np.full(3, 9.0, np.float32)
+    vf, iff = fused_topk(jnp.asarray(q), jnp.asarray(db), n, k,
+                         tlen=jnp.asarray(tlen), qlen=jnp.asarray(qlen),
+                         mincov=0.3, tile=256, use_len=True, interpret=True)
+    vx, ix = topk_scan(jnp.asarray(q), jnp.asarray(db), n, k, 256,
+                       tlen=jnp.asarray(tlen), qlen=jnp.asarray(qlen),
+                       mincov=0.3)
+    np.testing.assert_array_equal(np.asarray(iff), np.asarray(ix))
+    assert np.isfinite(np.asarray(vf)).all()  # the boundary hits are kept
+
+
 def test_fused_topk_few_valid_rows(problem):
     """k larger than the number of unmasked rows: tail must be -inf/-1."""
     q, db, _, _ = problem
