@@ -18,7 +18,7 @@ from ..io.pdb import write_pdb_records, select_atoms, get_xyz, mol_to_fasta
 from ..utils import profiling
 from ..utils.residues import THREE_TO_ONE_EXT
 from . import postprocess as pp
-from .pipeline import segment_structure
+from .pipeline import segment_structures
 
 logger = logging.getLogger(__name__)
 
@@ -169,17 +169,26 @@ def run_merizo(params, input_paths: list[str], pdb_chains: list[str] | None = No
     if pdb_chains is None:
         pdb_chains = ["A"] * len(input_paths)
     merizo_output = merizo_output or os.getcwd()
-    segment_domains, segment_results = [], []
+
+    paths, chains = [], []
     for path, chain in zip(input_paths, pdb_chains):
         if not os.path.exists(path):
             logger.warning("input %s does not exist; skipping", path)
+            continue
+        paths.append(path)
+        chains.append(chain)
+
+    with profiling.phase("segment"):
+        feats = segment_structures(params, paths, chains, **kw)
+
+    segment_domains, segment_results = [], []
+    for path, f in zip(paths, feats):
+        if f is None:
             continue
         pdb_name = os.path.basename(path)
         pdb_bn = os.path.splitext(pdb_name)[0]
         name_dict = {"pdb_name": pdb_name, "pdb_path": path,
                      "pdb_bn": pdb_bn, "pdb_out": pdb_bn + "_merizo"}
-        with profiling.phase("segment"):
-            f = segment_structure(params, path, chain=chain, **kw)
         domains = write_outputs(f, name_dict, merizo_output, **out_kw)
         segment_domains.extend(domains)
         segment_results.append(summary_row(f, name_dict))

@@ -30,6 +30,51 @@ logger = logging.getLogger(__name__)
 N_CLASSES = 20
 
 
+def _padded_features(f: dict, sel: np.ndarray, bucket: int):
+    """Bucket-pad (a subset of) one structure's features to [1, bucket, ...]."""
+    n = len(sel)
+    s = np.zeros((1, bucket, 20), np.float32)
+    z = np.zeros((1, bucket, bucket, 1), np.float32)
+    r = np.zeros((1, bucket, 3, 3), np.float32)
+    r[:, :, 0, 0] = r[:, :, 1, 1] = r[:, :, 2, 2] = 1.0
+    t = np.zeros((1, bucket, 3), np.float32)
+    ri = np.zeros((1, bucket), np.float32)
+    mask = np.zeros((1, bucket), np.float32)
+    s[0, :n] = f["s"][sel]
+    z[0, :n, :n, 0] = f["z"][np.ix_(sel, sel)]
+    r[0, :n] = f["r"][sel]
+    t[0, :n] = f["t"][sel]
+    ri[0, :n] = f["ri"][sel]
+    mask[0, :n] = 1.0
+    return s, z, r, t, ri, mask
+
+
+def _ids_from_network(dm: np.ndarray, bg: np.ndarray, n: int) -> np.ndarray:
+    """Domain ids from one structure's network outputs (in-decoder cleanups
+    with the reference's hardcoded thresholds, mask_decoder.py:191-195)."""
+    pred = dm[:n].argmax(-1).astype(np.int64)
+    pred = pp.clean_domains(pred, 50)
+    pred = pp.clean_singletons(pred, 10)
+    return pred * bg[:n].argmax(-1)
+
+
+def _dispatch_confidence(params, dm_1bn, dom_ids, bucket: int):
+    """Start the per-domain confidence computation; returns (device_future,
+    ids) — call np.asarray on the future to sync."""
+    ids, k = pp.get_ids(dom_ids)
+    if not k:
+        return None, ids
+    k_pad = -(-k // 4) * 4  # pad domain batch to limit recompiles
+    sel_idx, sel_mask = dec_mod.compact_domain_selection(dom_ids, ids, n_pad=bucket)
+    if k_pad != k:
+        sel_idx = np.concatenate([sel_idx, np.zeros((k_pad - k, bucket), np.int32)])
+        sel_mask = np.concatenate([sel_mask, np.zeros((k_pad - k, bucket), np.float32)])
+        sel_mask[k:, 0] = 1.0  # avoid empty sequences in the pad rows
+    c = mznet.domain_confidence(params["decoder"], jnp.asarray(dm_1bn),
+                                jnp.asarray(sel_idx), jnp.asarray(sel_mask))
+    return c, ids
+
+
 def _forward_subset(params, f: dict, sel: np.ndarray | None = None):
     """Run the network on (a subset of) the features, with bucket padding.
 
@@ -41,45 +86,16 @@ def _forward_subset(params, f: dict, sel: np.ndarray | None = None):
         sel = np.arange(f["nres"])
     n = len(sel)
     bucket = bucket_for(n)
-
-    s = np.zeros((1, bucket, 20), np.float32)
-    z = np.zeros((1, bucket, bucket, 1), np.float32)
-    r = np.zeros((1, bucket, 3, 3), np.float32)
-    r[:, :, 0, 0] = r[:, :, 1, 1] = r[:, :, 2, 2] = 1.0
-    t = np.zeros((1, bucket, 3), np.float32)
-    ri = np.zeros((1, bucket), np.float32)
-    mask = np.zeros((1, bucket), np.float32)
-
-    s[0, :n] = f["s"][sel]
-    z[0, :n, :n, 0] = f["z"][np.ix_(sel, sel)]
-    r[0, :n] = f["r"][sel]
-    t[0, :n] = f["t"][sel]
-    ri[0, :n] = f["ri"][sel]
-    mask[0, :n] = 1.0
-
-    dm, bg = mznet.forward_features(params, jnp.asarray(s), jnp.asarray(z),
-                                    jnp.asarray(r), jnp.asarray(t),
-                                    jnp.asarray(ri), jnp.asarray(mask))
+    inp = _padded_features(f, sel, bucket)
+    dm, bg = mznet.forward_features(params, *[jnp.asarray(x) for x in inp])
     dm = np.asarray(dm)
     bg = np.asarray(bg)
-
-    pred = dm[0, :n].argmax(-1).astype(np.int64)
-    # in-decoder cleanups with the reference's hardcoded thresholds
-    pred = pp.clean_domains(pred, 50)
-    pred = pp.clean_singletons(pred, 10)
-    dom_ids = pred * bg[0, :n].argmax(-1)
+    dom_ids = _ids_from_network(dm[0], bg[0], n)
 
     conf = np.zeros(n, np.float32)
-    ids, k = pp.get_ids(dom_ids)
-    if k:
-        k_pad = -(-k // 4) * 4  # pad domain batch to limit recompiles
-        sel_idx, sel_mask = dec_mod.compact_domain_selection(dom_ids, ids, n_pad=bucket)
-        if k_pad != k:
-            sel_idx = np.concatenate([sel_idx, np.zeros((k_pad - k, bucket), np.int32)])
-            sel_mask = np.concatenate([sel_mask, np.zeros((k_pad - k, bucket), np.float32)])
-            sel_mask[k:, 0] = 1.0  # avoid empty sequences in the pad rows
-        c = np.asarray(mznet.domain_confidence(params["decoder"], jnp.asarray(dm),
-                                               jnp.asarray(sel_idx), jnp.asarray(sel_mask)))
+    cfut, ids = _dispatch_confidence(params, dm, dom_ids, bucket)
+    if cfut is not None:
+        c = np.asarray(cfut)
         for j, d in enumerate(ids):
             conf[dom_ids == d] = c[j]
     return dom_ids, conf
@@ -118,22 +134,14 @@ def _iterative_segmentation(params, f, dom_ids, conf_res, max_iterations: int,
     return dom_ids, conf_res
 
 
-def segment_structure(params, path: str, chain: str = "A", iterate: bool = False,
-                      length_conditional_iterate: bool = False,
-                      max_iterations: int = 3, min_domain_size: int = 50,
-                      min_fragment_size: int = 10, domain_ave_size: int = 200,
-                      conf_threshold: float = 0.5, shuffle_indices: bool = False) -> dict:
-    """Segment one structure. Returns the feature dict extended with
-    domain_ids, conf_res, conf_global, ndom, domain_map (parity:
-    predict.py:142-197)."""
-    t0 = time.time()
-    f = generate_features(path, chain)
-
+def _finalize(params, f: dict, dom_ids, conf_res, t0, iterate: bool,
+              length_conditional_iterate: bool, max_iterations: int,
+              min_domain_size: int, min_fragment_size: int,
+              domain_ave_size: int, shuffle_indices: bool) -> dict:
+    """Post-network tail shared by the single and batched paths (parity:
+    predict.py:160-197)."""
     if length_conditional_iterate and f["nres"] > 512:
         iterate = True
-
-    dom_ids, conf_res = _forward_subset(params, f)
-
     if iterate and f["nres"] > domain_ave_size * 2:
         dom_ids, conf_res = _iterative_segmentation(
             params, f, dom_ids, conf_res, max_iterations, domain_ave_size)
@@ -153,3 +161,98 @@ def segment_structure(params, path: str, chain: str = "A", iterate: bool = False
                        else pp.remap_ids(dom_ids))
     f["runtime"] = time.time() - t0
     return f
+
+
+def segment_structure(params, path: str, chain: str = "A", iterate: bool = False,
+                      length_conditional_iterate: bool = False,
+                      max_iterations: int = 3, min_domain_size: int = 50,
+                      min_fragment_size: int = 10, domain_ave_size: int = 200,
+                      conf_threshold: float = 0.5, shuffle_indices: bool = False) -> dict:
+    """Segment one structure. Returns the feature dict extended with
+    domain_ids, conf_res, conf_global, ndom, domain_map (parity:
+    predict.py:142-197)."""
+    t0 = time.time()
+    f = generate_features(path, chain)
+    dom_ids, conf_res = _forward_subset(params, f)
+    return _finalize(params, f, dom_ids, conf_res, t0, iterate,
+                     length_conditional_iterate, max_iterations,
+                     min_domain_size, min_fragment_size, domain_ave_size,
+                     shuffle_indices)
+
+
+# [B, bucket, bucket] pair-feature budget per batched dispatch (z dominates
+# batch memory: bucket 2048 -> 4 structures, bucket 256 -> ~250)
+PAIR_BUDGET = 1 << 24
+
+
+def segment_structures(params, paths: list[str], chains: list[str],
+                       iterate: bool = False,
+                       length_conditional_iterate: bool = False,
+                       max_iterations: int = 3, min_domain_size: int = 50,
+                       min_fragment_size: int = 10, domain_ave_size: int = 200,
+                       conf_threshold: float = 0.5,
+                       shuffle_indices: bool = False) -> list[dict | None]:
+    """Segment many structures with batched forward passes.
+
+    Structures are featurised on the host, grouped by length bucket, and run
+    through the network as stacked batches — one device dispatch per batch
+    instead of per structure (the reference segments strictly serially,
+    predict.py:321-353). Per-domain confidence heads are dispatched
+    asynchronously and synced together, so device round-trips overlap.
+    Iterative re-segmentation (rare) falls back to per-structure calls.
+
+    Returns one finalised feature dict per input, or None for unparseable
+    files (callers log and skip, matching run_merizo's behaviour).
+    """
+    t0 = time.time()
+    feats: list[dict | None] = []
+    for path, chain in zip(paths, chains):
+        try:
+            feats.append(generate_features(path, chain))
+        except (ValueError, KeyError, OSError) as e:
+            logger.warning("could not featurise %s: %s", path, e)
+            feats.append(None)
+
+    groups: dict[int, list[int]] = {}
+    for i, f in enumerate(feats):
+        if f is not None:
+            groups.setdefault(bucket_for(f["nres"]), []).append(i)
+
+    results: list[dict | None] = [None] * len(feats)
+    for bucket, idxs in sorted(groups.items()):
+        # cap at 16 so each bucket compiles at most 5 batch shapes (1..16)
+        bsz = max(1, min(16, PAIR_BUDGET // (bucket * bucket)))
+        for c0 in range(0, len(idxs), bsz):
+            sel = idxs[c0:c0 + bsz]
+            # two batch shapes per bucket (1 and bsz): singles stay cheap and
+            # multi-structure batches compile exactly once per bucket;
+            # padding repeats the last structure (results discarded)
+            bpad = 1 if len(sel) == 1 else bsz
+            padded = sel + [sel[-1]] * (bpad - len(sel))
+            inp = [np.concatenate(arrs) for arrs in zip(*[
+                _padded_features(feats[i], np.arange(feats[i]["nres"]), bucket)
+                for i in padded])]
+            dm, bg = mznet.forward_features(params, *[jnp.asarray(x) for x in inp])
+            dm = np.asarray(dm)
+            bg = np.asarray(bg)
+            # per structure: ids on host, confidence dispatched async
+            pending = []
+            for b, i in enumerate(sel):
+                n = feats[i]["nres"]
+                dom_ids = _ids_from_network(dm[b], bg[b], n)
+                cfut, ids = _dispatch_confidence(params, dm[b:b + 1], dom_ids, bucket)
+                pending.append((i, dom_ids, cfut, ids))
+            for i, dom_ids, cfut, ids in pending:
+                n = feats[i]["nres"]
+                conf = np.zeros(n, np.float32)
+                if cfut is not None:
+                    c = np.asarray(cfut)
+                    for j, d in enumerate(ids):
+                        conf[dom_ids == d] = c[j]
+                results[i] = _finalize(
+                    params, feats[i], dom_ids, conf, t0, iterate,
+                    length_conditional_iterate, max_iterations,
+                    min_domain_size, min_fragment_size, domain_ave_size,
+                    shuffle_indices)
+                results[i]["runtime"] = time.time() - t0  # batch wall so far
+    return results

@@ -43,6 +43,22 @@ def test_m0_short_input(params, examples_dir, tmp_path):
         assert len(d["seq"]) == d["coords"].shape[0] <= 31
 
 
+def test_batched_matches_single(params, examples_dir):
+    """segment_structures (batched forward) must reproduce the per-structure
+    path's domain assignments."""
+    from merizo_search_tpu.segment.pipeline import (segment_structure,
+                                                    segment_structures)
+
+    paths = [os.path.join(examples_dir, p)
+             for p in ("3w5h.pdb", "AF-Q96HM7-F1-model_v4.pdb", "M0.pdb")]
+    batched = segment_structures(params, paths, ["A"] * 3)
+    for p, fb in zip(paths, batched):
+        fs = segment_structure(params, p)
+        np.testing.assert_array_equal(fb["domain_ids"], fs["domain_ids"])
+        assert fb["ndom"] == fs["ndom"]
+        np.testing.assert_allclose(fb["conf_res"], fs["conf_res"], atol=2e-4)
+
+
 def test_segment_outputs_and_schema(params, examples_dir, tmp_path):
     domains, results = run_merizo(
         params, [os.path.join(examples_dir, "3w5h.pdb")],
