@@ -1,0 +1,104 @@
+"""Unit tests for multi-domain (full-length chain) search.
+
+Covers the pure logic (chain-id mapping, neighbour expansion over a
+chain-ordered DB, assignment-path enumeration and match categories 0-3,
+reference dbsearch_fulllength.py:36-180) plus an end-to-end run against a
+synthetic chain-ordered database where the expected MDA match is known by
+construction.
+"""
+
+import numpy as np
+import pytest
+
+from merizo_search_tpu.db import codecs
+from merizo_search_tpu.pipeline import multidomain as md
+
+
+def test_domid2chainid():
+    assert md.domid2chainid("cath-dompdb/2pi4A04.pdb") == "2pi4A"
+    assert md.domid2chainid("AF-Q12345-F1_TED02.pdb") == "AF-Q12345-F1"
+    assert md.domid2chainid("plainname.pdb") == "plainname"
+
+
+def _cat(mtx, nhd=None):
+    nqd = mtx.shape[0]
+    nhd = nhd if nhd is not None else mtx.shape[1]
+    hds = [{"hd": f"h{j:02d}", "hm": "{ }"} for j in range(mtx.shape[1])]
+    return md._submatrix_to_hits(mtx, "qc", "hc", [f"q{i}" for i in range(nqd)], hds)
+
+
+def test_match_category_exact_mda():
+    # 2 query domains onto a 2-domain chain, in order: category 3
+    res = _cat(np.array([[0.9, 0.0], [0.0, 0.8]]))
+    assert len(res) == 1
+    assert res[0][4] == 3
+
+
+def test_match_category_contiguous_subrange():
+    # ordered, consecutive columns of a larger chain: category 2
+    res = _cat(np.array([[0.0, 0.9, 0.0, 0.0], [0.0, 0.0, 0.8, 0.0]]))
+    assert [r[4] for r in res] == [2]
+
+
+def test_match_category_ordered_with_gaps():
+    res = _cat(np.array([[0.9, 0.0, 0.0], [0.0, 0.0, 0.8]]))
+    assert [r[4] for r in res] == [1]
+
+
+def test_match_category_unordered():
+    # query domain order reversed on the hit chain: category 0
+    res = _cat(np.array([[0.0, 0.9], [0.8, 0.0]]))
+    assert [r[4] for r in res] == [0]
+
+
+def test_no_result_when_a_query_domain_unmatched():
+    assert _cat(np.array([[0.9, 0.0], [0.0, 0.0]])) == []
+
+
+def test_paths_cannot_reuse_a_hit_domain():
+    # both query domains only match hit domain 0: no valid assignment
+    assert _cat(np.array([[0.9, 0.0], [0.8, 0.0]])) == []
+
+
+@pytest.fixture()
+def chain_db(tmp_path, rng):
+    """9-entry DB ordered by chain: chainX (3 domains), chainY (2), single Z."""
+    names = ["chainX_01", "chainX_02", "chainX_03",
+             "chainY_01", "chainY_02", "zsolo_01"]
+    # shapes: reuse a few random folds so TM relationships are controlled
+    folds = [np.cumsum(rng.normal(size=(70, 3)) * 1.8, axis=0).astype(np.float32)
+             for _ in range(4)]
+    # chainY's two domains are copies of chainX's first two
+    coords = [folds[0], folds[1], folds[2], folds[0], folds[1], folds[3]]
+    embs = rng.normal(size=(6, 128)).astype(np.float32)
+    entries = [(n, c, "A" * len(c)) for n, c in zip(names, coords)]
+    prefix = str(tmp_path / "chains")
+    codecs.write_pt_db(prefix, embs, entries)
+    return prefix, names, coords
+
+
+def test_multidomain_end_to_end(chain_db):
+    prefix, names, coords = chain_db
+    # easy-search-style inputs: two query domains of one chain, identical to
+    # chainX_01/chainX_02 (and hence chainY too)
+    queries = [
+        {"name": "myq_merizo_01", "coords": coords[0], "seq": "A" * 70},
+        {"name": "myq_merizo_02", "coords": coords[1], "seq": "A" * 70},
+    ]
+    search_results = [
+        {0: {"query": "myq_merizo_01", "target": "chainX_01", "dbindex": 0},
+         1: {"query": "myq_merizo_01", "target": "chainY_01", "dbindex": 3}},
+        {0: {"query": "myq_merizo_02", "target": "chainX_02", "dbindex": 1}},
+    ]
+    res = md.multi_domain_search(queries, search_results, prefix,
+                                 inputs_from_easy_search=True, mintm=0.5)
+    assert res, "expected multi-domain hits"
+    by_chain = {}
+    for qc, nqd, hc, nhd, cat, info, meta in res:
+        assert qc == "myq"
+        assert nqd == 2
+        by_chain.setdefault(hc, []).append(cat)
+    # chainX (3 domains) holds the queries in order as a prefix: category 2;
+    # chainY (2 domains) matches exactly: category 3
+    assert 2 in by_chain.get("chainX", [])
+    assert 3 in by_chain.get("chainY", [])
