@@ -341,8 +341,36 @@ def easy_search(argv):
     _finish("easy-search", t0)
 
 
+def serve(argv):
+    p = argparse.ArgumentParser(
+        prog="merizo_tpu serve",
+        description="Run a persistent search server: DB resident in device "
+                    "HBM, models compiled once, queries over HTTP.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("db_name", type=str)
+    p.add_argument("--host", type=str, default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8086)
+    p.add_argument("-d", "--device", type=str, default=None)
+    p.add_argument("--mesh", type=int, default=0)
+    p.add_argument("--precision", type=str, default="bf16",
+                   choices=["fp32", "bf16", "int8"])
+    p.add_argument("--weights", type=str, default=None)
+    p.add_argument("--merizo_weights", type=str, default=None)
+    p.add_argument("--tmalign_backend", type=str, default="auto",
+                   choices=["auto", "native", "tpu"])
+    args = p.parse_args(argv)
+    _apply_device(args.device)
+
+    from .server import serve as run_server
+
+    run_server(args.db_name, host=args.host, port=args.port,
+               mesh=_mesh(args.mesh), precision=args.precision,
+               weights=args.weights, merizo_weights=args.merizo_weights,
+               tmalign_backend=args.tmalign_backend)
+
+
 USAGE = """Usage: python -m merizo_search_tpu.cli <mode> <args>
-    <mode> is one of: 'segment', 'createdb', 'search', or 'easy-search'.
+    <mode> is one of: 'segment', 'createdb', 'search', 'easy-search', or 'serve'.
     Detailed help: python -m merizo_search_tpu.cli <mode> --help
 """
 
@@ -363,11 +391,13 @@ def main(argv=None):
         search(rest)
     elif mode == "easy-search":
         easy_search(rest)
+    elif mode == "serve":
+        serve(rest)
     elif mode in ("-h", "--help"):
         print(USAGE)
     else:
         print("Invalid mode. Please choose one of 'segment', 'createdb', "
-              "'search', or 'easy-search'.")
+              "'search', 'easy-search', or 'serve'.")
         sys.exit(2)
 
 

@@ -1,0 +1,219 @@
+"""Persistent search server.
+
+The reference is CLI-only: every search pays DB load + model init again
+(minutes at CATH scale, hours at TED-365M). This server loads the database
+into device HBM once, keeps the jitted models warm, and answers queries
+over HTTP — the deployment shape a TPU search cluster actually wants.
+
+Endpoints (JSON in/out):
+  GET  /healthz        -> {"status": "ok", "db_size": N, ...}
+  GET  /stats          -> accumulated phase timings
+  POST /search         -> body {"pdb": "<PDB text>", "chain": "A", "k": 10,
+                                "mincos": 0.5, "mintm": 0.5, "mincov": 0.7,
+                                "skip_tmalign": false}
+                          or {"coords": [[x,y,z],...], "seq": "..."}
+                          -> {"hits": [{target, emb_score, q_tm, ...}, ...]}
+  POST /easy-search    -> body {"pdb": ..., "chain": ..., "k": ...}
+                          -> {"domains": [...], "hits_per_domain": [...]}
+
+Run: merizo-tpu serve <db_name> [--port 8086] [--precision bf16] ...
+Concurrency: requests are handled on a thread pool; device work serialises
+through JAX's own dispatch queue, so concurrent clients pipeline naturally.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import tempfile
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+class SearchService:
+    """Resident models + database + search pipeline."""
+
+    def __init__(self, db_name: str, mesh=None, precision: str = "bf16",
+                 weights: str | None = None, merizo_weights: str | None = None,
+                 tmalign_backend: str = "auto"):
+        import jax.numpy as jnp
+
+        from .db.codecs import FlatDB
+        from .search.engine import SearchEngine
+        from .pipeline.embed import load_foldclass_params
+        from .models.merizo.network import load_merizo_params
+
+        dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16,
+                 "int8": jnp.int8}[precision]
+        self.db = FlatDB.open(db_name)
+        self.engine = SearchEngine(self.db, mesh=mesh, dtype=dtype)
+        self.fc_params = load_foldclass_params(weights)
+        self.mz_params = load_merizo_params(merizo_weights)
+        self.tmalign_backend = tmalign_backend
+        self.started = time.time()
+        self.n_requests = 0
+        self._lock = threading.Lock()
+        if self.engine.mode == "device":
+            self.engine._load_resident()   # pay DB residency once, at boot
+        logger.info("service ready: %d entries (%s mode)", self.db.size,
+                    self.engine.mode)
+
+    # -- request handling ---------------------------------------------------
+    def _query_struct(self, body: dict) -> dict:
+        from .io.pdb import read_ca
+
+        if "coords" in body:
+            coords = np.asarray(body["coords"], np.float32)
+            seq = body.get("seq", "A" * len(coords))
+            return {"coords": coords, "seq": seq,
+                    "name": body.get("name", "query")}
+        if "pdb" in body:
+            with tempfile.NamedTemporaryFile("w", suffix=".pdb") as fh:
+                fh.write(body["pdb"])
+                fh.flush()
+                d = read_ca(fh.name, body.get("chain", "A"))
+            d["name"] = body.get("name", "query")
+            return d
+        raise ValueError("request needs 'pdb' or 'coords'")
+
+    def search(self, body: dict) -> dict:
+        from .pipeline.dbsearch import run_dbsearch
+
+        q = self._query_struct(body)
+        results, _ = run_dbsearch(
+            [q], db_name=None, engine=self.engine, params=self.fc_params,
+            topk=int(body.get("k", 1)),
+            mincos=float(body.get("mincos", 0.5)),
+            mintm=float(body.get("mintm", 0.5)),
+            mincov=float(body.get("mincov", 0.7)),
+            fastmode=bool(body.get("fastmode", False)),
+            skip_tmalign=bool(body.get("skip_tmalign", False)),
+            inputs_are_ca=True, tmalign_backend=self.tmalign_backend)
+        with self._lock:
+            self.n_requests += 1
+        return {"hits": [_hit_json(rank, h) for rank, h in results[0].items()]}
+
+    def easy_search(self, body: dict) -> dict:
+        from .pipeline.dbsearch import run_dbsearch
+        from .segment.outputs import domains_as_list
+        from .segment.pipeline import segment_structure
+        from .io.pdb import read_ca  # noqa: F401  (shared parse path)
+
+        if "pdb" not in body:
+            raise ValueError("easy-search needs 'pdb'")
+        with tempfile.NamedTemporaryFile("w", suffix=".pdb") as fh:
+            fh.write(body["pdb"])
+            fh.flush()
+            f = segment_structure(
+                self.mz_params, fh.name, chain=body.get("chain", "A"),
+                iterate=bool(body.get("iterate", False)))
+        domains = domains_as_list(f, body.get("name", "query"))
+        out = {"ndom": int(f["ndom"]),
+               "domains": [{"name": d["name"], "dom_str": d["dom_str"],
+                            "dom_conf": d["dom_conf"],
+                            "dom_plddt": d["dom_plddt"],
+                            "nres": int(len(d["seq"]))} for d in domains],
+               "hits_per_domain": []}
+        if domains:
+            results, _ = run_dbsearch(
+                domains, db_name=None, engine=self.engine,
+                params=self.fc_params, topk=int(body.get("k", 1)),
+                mincos=float(body.get("mincos", 0.5)),
+                mintm=float(body.get("mintm", 0.5)),
+                mincov=float(body.get("mincov", 0.7)),
+                fastmode=bool(body.get("fastmode", False)),
+                skip_tmalign=bool(body.get("skip_tmalign", False)),
+                inputs_are_ca=True, tmalign_backend=self.tmalign_backend)
+            out["hits_per_domain"] = [
+                [_hit_json(rank, h) for rank, h in r.items()] for r in results]
+        with self._lock:
+            self.n_requests += 1
+        return out
+
+    def stats(self) -> dict:
+        from .utils import profiling
+
+        return {
+            "db_size": self.db.size,
+            "mode": self.engine.mode,
+            "uptime_s": round(time.time() - self.started, 1),
+            "requests": self.n_requests,
+            "phase_timings": {k: {"seconds": round(s, 4), "calls": c}
+                              for k, (s, c) in profiling.timings().items()},
+        }
+
+
+def _hit_json(rank, h) -> dict:
+    tm = h.get("tmalign_output") or {}
+    return {
+        "rank": int(rank),
+        "target": h["target"],
+        "emb_score": round(float(h["score"]), 4),
+        "q_len": int(h["q_len"]),
+        "t_len": int(h["t_len"]),
+        "ali_len": tm.get("len_ali"),
+        "seq_id": round(tm["seq_id"], 4) if tm else None,
+        "q_tm": round(tm["qtm"], 4) if tm else None,
+        "t_tm": round(tm["ttm"], 4) if tm else None,
+        "rmsd": round(tm["rmsd"], 2) if tm else None,
+        "metadata": h.get("metadata"),
+    }
+
+
+def make_handler(service: SearchService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            logger.info("%s " + fmt, self.address_string(), *args)
+
+        def _reply(self, code: int, obj: dict):
+            data = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"status": "ok", "db_size": service.db.size,
+                                  "mode": service.engine.mode})
+            elif self.path == "/stats":
+                self._reply(200, service.stats())
+            else:
+                self._reply(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                if self.path == "/search":
+                    self._reply(200, service.search(body))
+                elif self.path == "/easy-search":
+                    self._reply(200, service.easy_search(body))
+                else:
+                    self._reply(404, {"error": "unknown path"})
+            except ValueError as e:
+                self._reply(400, {"error": str(e)})
+            except Exception as e:  # keep the server alive on bad inputs
+                logger.exception("request failed")
+                self._reply(500, {"error": f"{type(e).__name__}: {e}"})
+
+    return Handler
+
+
+def serve(db_name: str, host: str = "127.0.0.1", port: int = 8086, **kw):
+    """Blocking entry point: build the service, then serve forever."""
+    service = SearchService(db_name, **kw)
+    httpd = ThreadingHTTPServer((host, port), make_handler(service))
+    logger.info("serving on http://%s:%d (POST /search, /easy-search)", host, port)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        logger.info("shutting down")
+        httpd.shutdown()
+    return httpd
