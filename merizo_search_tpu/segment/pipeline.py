@@ -205,13 +205,24 @@ def segment_structures(params, paths: list[str], chains: list[str],
     files (callers log and skip, matching run_merizo's behaviour).
     """
     t0 = time.time()
-    feats: list[dict | None] = []
-    for path, chain in zip(paths, chains):
+
+    def featurise(args):
+        path, chain = args
         try:
-            feats.append(generate_features(path, chain))
+            return generate_features(path, chain)
         except (ValueError, KeyError, OSError) as e:
             logger.warning("could not featurise %s: %s", path, e)
-            feats.append(None)
+            return None
+
+    if len(paths) > 2:
+        # PDB parsing + distance matrices + frames are numpy/scipy kernels
+        # that release the GIL — thread the featurisation
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, len(paths))) as ex:
+            feats = list(ex.map(featurise, zip(paths, chains)))
+    else:
+        feats = [featurise(a) for a in zip(paths, chains)]
 
     groups: dict[int, list[int]] = {}
     for i, f in enumerate(feats):
