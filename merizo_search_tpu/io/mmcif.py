@@ -1,0 +1,104 @@
+"""Minimal mmCIF (PDBx) CA reader.
+
+The reference only consumes legacy .pdb files (makedb.py:47 lists *.pdb),
+but AFDB/PDB distribution has moved to mmCIF; createdb and the query paths
+accept .cif/.mmcif here. Parses the `_atom_site` loop directly (no gemmi
+dependency): field order is taken from the loop header, so any column
+arrangement works.
+
+Returns the same {'coords', 'seq', 'name'} dict as io.pdb.read_ca.
+"""
+
+from __future__ import annotations
+
+import gzip
+
+import numpy as np
+
+from ..utils.residues import THREE_TO_ONE
+
+
+def _tokenize(line: str) -> list[str]:
+    """Whitespace split honouring single/double-quoted fields."""
+    if "'" not in line and '"' not in line:
+        return line.split()
+    out, i, n = [], 0, len(line)
+    while i < n:
+        while i < n and line[i] in " \t":
+            i += 1
+        if i >= n:
+            break
+        if line[i] in "'\"":
+            qc = line[i]
+            j = line.find(qc, i + 1)
+            j = n if j < 0 else j
+            out.append(line[i + 1:j])
+            i = j + 1
+        else:
+            j = i
+            while j < n and line[j] not in " \t":
+                j += 1
+            out.append(line[i:j])
+            i = j
+    return out
+
+
+def read_ca_mmcif(path: str, chain: str = "A") -> dict:
+    """CA-only mmCIF reader. Prefers auth_asym_id for chain matching (what
+    PDB-derived files label chains with), falling back to label_asym_id."""
+    op = gzip.open if path.endswith(".gz") else open
+    with op(path, "rt") as fh:
+        lines = fh.read().splitlines()
+
+    fields: list[str] = []
+    rows: list[list[str]] = []
+    i = 0
+    n = len(lines)
+    while i < n:
+        if lines[i].strip() == "loop_":
+            j = i + 1
+            hdr = []
+            while j < n and lines[j].strip().startswith("_"):
+                hdr.append(lines[j].strip().split()[0])
+                j += 1
+            if hdr and hdr[0].startswith("_atom_site."):
+                fields = [h.split(".", 1)[1] for h in hdr]
+                while j < n:
+                    s = lines[j].strip()
+                    if not s or s.startswith(("#", "loop_", "_", "data_")):
+                        break
+                    rows.append(_tokenize(s))
+                    j += 1
+                break
+            i = j
+        else:
+            i += 1
+
+    if not fields:
+        raise ValueError(f"no _atom_site loop in mmCIF file {path}")
+    idx = {f: k for k, f in enumerate(fields)}
+
+    def col(row, name, default=None):
+        k = idx.get(name)
+        return row[k] if k is not None and k < len(row) else default
+
+    coords, seq = [], []
+    chain_field = "auth_asym_id" if "auth_asym_id" in idx else "label_asym_id"
+    for row in rows:
+        if col(row, "group_PDB", "ATOM") != "ATOM":
+            continue
+        if col(row, "label_atom_id") != "CA":
+            continue
+        if col(row, chain_field, "A") != chain:
+            continue
+        alt = col(row, "label_alt_id", ".")
+        if alt not in (".", "?", "A"):
+            continue  # first altloc only (parity with the fast PDB reader)
+        coords.append([float(col(row, "Cartn_x")), float(col(row, "Cartn_y")),
+                       float(col(row, "Cartn_z"))])
+        seq.append(THREE_TO_ONE.get(col(row, "label_comp_id", ""), "X"))
+
+    if not coords:
+        raise ValueError(f"Chain ID {chain!r} not present in mmCIF file {path}")
+    return {"coords": np.asarray(coords, np.float32),
+            "seq": "".join(seq), "name": path}

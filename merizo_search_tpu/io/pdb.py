@@ -173,7 +173,12 @@ def read_ca(path: str, chain: str = "A") -> dict:
     residues become 'X'.
 
     Returns {'coords': float32 [N,3], 'seq': str, 'name': path}.
+    mmCIF inputs (.cif/.mmcif, optionally .gz) are dispatched to io.mmcif.
     """
+    if path.endswith((".cif", ".mmcif", ".cif.gz", ".mmcif.gz")):
+        from .mmcif import read_ca_mmcif
+
+        return read_ca_mmcif(path, chain)
     if len(chain) != 1:
         raise ValueError(f"Invalid chain ID: {chain!r}")
     mat = _line_matrix(path)

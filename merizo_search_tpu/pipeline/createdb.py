@@ -27,9 +27,19 @@ from .embed import embed_structures, load_foldclass_params, MAX_RES
 logger = logging.getLogger(__name__)
 
 
+EXTS = (".pdb", ".cif", ".mmcif", ".cif.gz", ".mmcif.gz")
+
+
+def _strip_ext(name: str) -> str:
+    for e in EXTS:
+        if name.endswith(e):
+            return name[:-len(e)]
+    return name
+
+
 def list_pdb_files(input_dir: str) -> list[str]:
     files = [os.path.join(input_dir, f) for f in os.listdir(input_dir)
-             if f.endswith(".pdb")]
+             if f.endswith(EXTS)]
     files.sort()  # parity: makedb.py:48 keeps runs deterministic
     return files
 
@@ -89,7 +99,7 @@ def run_createdb(input_dir: str, out_db: str, weights: str | None = None,
             embs = embed_structures(params, coords, mesh=mesh)
             for j, name in enumerate(names):
                 if fmt == "mmap":
-                    writer.add(os.path.basename(name).removesuffix(".pdb"),
+                    writer.add(_strip_ext(os.path.basename(name)),
                                embs[j], coords[j], seqs[j])
                 else:
                     all_embs.append(embs[j])

@@ -1,0 +1,87 @@
+"""mmCIF CA reader tests (io/mmcif.py): round-trip vs the PDB reader and
+robustness to column order / quoting / gz."""
+
+import gzip
+import os
+
+import numpy as np
+import pytest
+
+from merizo_search_tpu.io.pdb import read_ca
+
+
+def _as_mmcif(d: dict, chain: str = "A", shuffle_cols: bool = False) -> str:
+    from merizo_search_tpu.utils.residues import THREE_TO_ONE
+
+    one_to_three = {v: k for k, v in THREE_TO_ONE.items()}
+    fields = ["group_PDB", "id", "label_atom_id", "label_alt_id",
+              "label_comp_id", "auth_asym_id", "auth_seq_id",
+              "Cartn_x", "Cartn_y", "Cartn_z", "occupancy"]
+    if shuffle_cols:
+        fields = fields[::-1]
+    lines = ["data_test", "#", "loop_"]
+    lines += [f"_atom_site.{f}" for f in fields]
+    for i, (xyz, aa) in enumerate(zip(d["coords"], d["seq"])):
+        row = {
+            "group_PDB": "ATOM", "id": str(i + 1), "label_atom_id": "CA",
+            "label_alt_id": ".", "label_comp_id": one_to_three.get(aa, "UNK"),
+            "auth_asym_id": chain, "auth_seq_id": str(i + 1),
+            "Cartn_x": f"{xyz[0]:.3f}", "Cartn_y": f"{xyz[1]:.3f}",
+            "Cartn_z": f"{xyz[2]:.3f}", "occupancy": "1.00",
+        }
+        lines.append(" ".join(row[f] for f in fields))
+    lines.append("#")
+    return "\n".join(lines) + "\n"
+
+
+@pytest.fixture(scope="module")
+def ref_struct(examples_dir):
+    return read_ca(os.path.join(examples_dir, "3w5h.pdb"), chain="A")
+
+
+def test_roundtrip_matches_pdb_reader(ref_struct, tmp_path):
+    p = str(tmp_path / "s.cif")
+    open(p, "w").write(_as_mmcif(ref_struct))
+    d = read_ca(p, chain="A")
+    assert d["seq"] == ref_struct["seq"]
+    np.testing.assert_allclose(d["coords"], ref_struct["coords"], atol=1e-3)
+
+
+def test_column_order_independent(ref_struct, tmp_path):
+    p = str(tmp_path / "s.cif")
+    open(p, "w").write(_as_mmcif(ref_struct, shuffle_cols=True))
+    d = read_ca(p, chain="A")
+    assert d["seq"] == ref_struct["seq"]
+
+
+def test_gzipped(ref_struct, tmp_path):
+    p = str(tmp_path / "s.cif.gz")
+    with gzip.open(p, "wt") as fh:
+        fh.write(_as_mmcif(ref_struct))
+    d = read_ca(p, chain="A")
+    assert len(d["seq"]) == len(ref_struct["seq"])
+
+
+def test_missing_chain_raises(ref_struct, tmp_path):
+    p = str(tmp_path / "s.cif")
+    open(p, "w").write(_as_mmcif(ref_struct, chain="B"))
+    with pytest.raises(ValueError):
+        read_ca(p, chain="A")
+
+
+def test_createdb_accepts_mmcif(ref_struct, tmp_path):
+    from merizo_search_tpu.pipeline.createdb import run_createdb
+    from merizo_search_tpu.pipeline.embed import load_foldclass_params
+    from merizo_search_tpu.db.codecs import FlatDB
+
+    ind = tmp_path / "in"
+    ind.mkdir()
+    (ind / "one.cif").write_text(_as_mmcif(
+        {"coords": ref_struct["coords"][:60], "seq": ref_struct["seq"][:60]}))
+    params = load_foldclass_params(None)
+    out = str(tmp_path / "db")
+    n = run_createdb(str(ind), out, fmt="mmap", params=params)
+    assert n == 1
+    db = FlatDB.open(out)
+    assert db.name(0) == "one"
+    assert db.seq(0) == ref_struct["seq"][:60]
