@@ -64,7 +64,7 @@ def _select_chunk(s, gstart, k, selection, recall_target):
     if selection == "approx" and c >= 4 * k:
         v, i = jax.lax.approx_max_k(s, k, recall_target=recall_target)
         return v, gstart + i.astype(jnp.int32)
-    if selection == "exact" and c >= 4 * k * BLOCK:
+    if selection == "exact" and c >= 4 * k * BLOCK and c % BLOCK == 0:
         nb = c // BLOCK
         sb = s.reshape(qn, nb, BLOCK)
         bm = jnp.max(sb, axis=-1)                      # [Q, nb]

@@ -176,3 +176,16 @@ def test_merge_partials():
     v, i = topk_ops.merge_partials(vals, idxs, 3)
     np.testing.assert_allclose(np.asarray(v), [[3.0, 2.5, 1.0]])
     np.testing.assert_array_equal(np.asarray(i), [[7, 9, 3]])
+
+
+def test_chunk_not_multiple_of_block(tmp_path, rng):
+    """2000-row DB with chunk=2000 (not a multiple of the 128-lane selection
+    block) once crashed the XLA scan's reshape; k small enough to trigger
+    the block-max selection path."""
+    prefix, embs, _ = _make_db(tmp_path, rng, n=2000)
+    db = codecs.FlatDB.open(prefix)
+    eng = SearchEngine(db)  # default chunk >> n -> chunk_eff = 2000
+    q = rng.normal(size=(2, 128)).astype(np.float32)
+    vals, idxs = eng.search(q, k=3)
+    bv, bi = _brute_force(q, embs, 3)
+    _assert_topk_close(vals, idxs, bv, bi)
