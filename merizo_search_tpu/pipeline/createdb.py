@@ -77,23 +77,28 @@ def run_createdb(input_dir: str, out_db: str, weights: str | None = None,
     files_done = skip_files
     t0 = time.time()
     # process in file chunks so host memory stays bounded for huge inputs
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _parse(path):
+        try:
+            return path, read_ca(path)
+        except ValueError:
+            return path, None
+
     for c0 in range(skip_files, len(files), chunk_files):
         chunk = files[c0:min(c0 + chunk_files, len(files))]
         names, coords, seqs = [], [], []
-        for path in chunk:
-            try:
-                d = read_ca(path)
-            except ValueError:
-                logger.warning("No CA atoms read from PDB file %s; skipping.", path)
-                continue
-            ca = d["coords"][:MAX_RES]
-            seq = d["seq"][:MAX_RES]
-            if len(ca) == 0:
+        # the CA reader is numpy-kernel-bound and releases the GIL: parse on
+        # a thread pool so file IO overlaps the previous chunk's embedding
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            parsed = list(ex.map(_parse, chunk))
+        for path, d in parsed:
+            if d is None or len(d["coords"]) == 0:
                 logger.warning("No CA atoms read from PDB file %s; skipping.", path)
                 continue
             names.append(path)
-            coords.append(ca)
-            seqs.append(seq)
+            coords.append(d["coords"][:MAX_RES])
+            seqs.append(d["seq"][:MAX_RES])
 
         if names:
             embs = embed_structures(params, coords, mesh=mesh)
