@@ -93,6 +93,15 @@ def _add_search_flags(p: argparse.ArgumentParser):
                         "is bit-faithful to the reference's scores.")
     p.add_argument("--weights", type=str, default=None,
                    help="Path to a converted Foldclass checkpoint (.pt).")
+    p.add_argument("--search_index", type=str, default="flat",
+                   choices=["flat", "ivf"],
+                   help="'flat' = exact full scan; 'ivf' = balanced-cluster "
+                        "inverted file, probing --nprobe clusters per query "
+                        "(sublinear, for latency-sensitive serving).")
+    p.add_argument("--nprobe", type=int, default=32,
+                   help="IVF clusters probed per query.")
+    p.add_argument("--nlist", type=int, default=0,
+                   help="IVF cluster count (0 = ~sqrt(DB size)).")
 
 
 def _add_merizo_flags(p: argparse.ArgumentParser):
@@ -245,7 +254,8 @@ def _do_search(args, inputs, inputs_are_ca, pdb_chain, fields_default):
         skip_tmalign=args.skip_tmalign, search_batchsize=args.search_batchsize,
         mesh=_mesh(args.mesh), weights=args.weights,
         tmalign_backend=args.tmalign_backend, threads=max(args.threads, 0),
-        precision=args.precision)
+        precision=args.precision, search_index=args.search_index,
+        nprobe=args.nprobe, nlist=args.nlist)
 
     write_search_results(results, search_output, fields,
                          header=args.output_headers, metadata_json=args.metadata_json)

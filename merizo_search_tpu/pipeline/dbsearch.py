@@ -65,7 +65,8 @@ def run_dbsearch(inputs, db_name: str, topk: int = 1, fastmode: bool = False,
                  mesh=None, params=None, weights: str | None = None,
                  engine: SearchEngine | None = None,
                  tmalign_backend: str = "auto", threads: int = 0,
-                 precision: str = "bf16"):
+                 precision: str = "bf16", search_index: str = "flat",
+                 nprobe: int = 32, nlist: int = 0):
     """Search queries against a database.
 
     inputs: list of PDB paths, or (inputs_are_ca=True) of dicts with
@@ -90,7 +91,8 @@ def run_dbsearch(inputs, db_name: str, topk: int = 1, fastmode: bool = False,
         dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16,
                  "int8": jnp.int8}[precision]
         engine = SearchEngine(db, mesh=mesh, stream_block=search_batchsize,
-                              dtype=dtype)
+                              dtype=dtype, index=search_index,
+                              ivf_nlist=nlist, ivf_nprobe=nprobe)
     db = engine.db
     use_cov_filters = db.kind == "pt"
 

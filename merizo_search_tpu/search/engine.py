@@ -100,7 +100,8 @@ class SearchEngine:
     def __init__(self, db: FlatDB, mesh: Mesh | None = None, chunk: int = 2 ** 20,
                  dtype=jnp.float32, max_device_gb: float = 8.0,
                  stream_block: int = 2 ** 21, selection: str = "exact",
-                 recall_target: float = 0.95):
+                 recall_target: float = 0.95, index: str = "flat",
+                 ivf_nlist: int = 0, ivf_nprobe: int = 32):
         self.db = db
         self.mesh = mesh
         self.dtype = dtype
@@ -128,6 +129,19 @@ class SearchEngine:
             and jax.default_backend() == "tpu")
         if self.quantized and mesh is not None:
             raise NotImplementedError("int8 DBs are not mesh-sharded yet")
+        # IVF: sublinear probe for latency-sensitive serving (device mode).
+        self.index = index
+        self.ivf_nprobe = ivf_nprobe
+        self._ivf = None
+        if index == "ivf":
+            if mesh is not None or self.quantized or self.mode != "device":
+                raise NotImplementedError("IVF currently supports single-"
+                                          "device fp32/bf16 resident DBs")
+            # default nlist ~ sqrt(N), power of two, >= 16
+            self.ivf_nlist = ivf_nlist or max(16, 1 << int(
+                np.ceil(np.log2(max(np.sqrt(db.size), 16)))))
+        elif index != "flat":
+            raise ValueError(f"unknown index type: {index}")
 
     # -- residency ----------------------------------------------------------
     def _load_resident(self):
@@ -138,6 +152,27 @@ class SearchEngine:
         if not self.db.normalised:
             emb = _normalize_rows(emb)
         lengths = self.db.lengths().astype(np.float32)
+        if self.index == "ivf":
+            from . import ivf as ivf_mod
+
+            ivf = ivf_mod.build_ivf(emb, self.ivf_nlist)
+            dbp = ivf_mod.permute_db(
+                emb, ivf, np.dtype("bfloat16") if self.dtype == jnp.bfloat16
+                else np.float32)
+            perm = ivf["perm"]
+            lp = np.full(len(perm), 1e9, np.float32)
+            lp[perm >= 0] = lengths[perm[perm >= 0]]
+            self._demb = jax.device_put(dbp)
+            self._dlen = jax.device_put(lp)
+            self._ivf = {"centroids": jax.device_put(ivf["centroids"]),
+                         "perm": jax.device_put(perm)}
+            self._n_valid = emb.shape[0]
+            self._chunk_eff = self.chunk
+            self._resident = True
+            logger.info("IVF DB resident: %d rows in %d clusters (%.2f GB, %.2fs)",
+                        emb.shape[0], ivf["nlist"], dbp.nbytes / 2 ** 30,
+                        time.time() - t0)
+            return
         # pad rows so both the mesh split and the scan chunking divide evenly;
         # keep the chunk no bigger than one shard's worth of a small DB
         n = emb.shape[0]
@@ -201,6 +236,16 @@ class SearchEngine:
                 vals, idxs = self._mesh_fns[key](
                     qd, self._demb, self._dlen,
                     jnp.asarray([self._n_valid], jnp.int32), jnp.asarray(qlen))
+            elif self._ivf is not None:
+                from . import ivf as ivf_mod
+
+                vals, idxs = ivf_mod.ivf_search(
+                    jnp.asarray(q).astype(self.dtype), self._demb,
+                    self._ivf["centroids"], self._ivf["perm"], k_eff,
+                    min(self.ivf_nprobe, self.ivf_nlist),
+                    tlen=self._dlen, qlen=jnp.asarray(qlen),
+                    mincov=float(mincov), use_len=use_len,
+                    interpret=jax.default_backend() != "tpu")
             elif self._fused and self.quantized:
                 q8, qs = pallas_scan.quantize_rows(q)
                 vals, idxs = pallas_scan.fused_topk(

@@ -1,0 +1,92 @@
+"""IVF index tests (search/ivf.py + engine integration).
+
+Verify the balanced build invariants, recall on clustered data, exactness
+at full probe, mincov filtering, and the SearchEngine ivf mode.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from merizo_search_tpu.search.ivf import build_ivf, permute_db, ivf_search
+
+
+@pytest.fixture(scope="module")
+def mixture():
+    # local deterministic rng: the shared session rng's state depends on
+    # test order, which moved recall across the assertion threshold
+    rng = np.random.default_rng(1234)
+    N, D = 1 << 13, 128
+    centers = rng.normal(size=(32, D)).astype(np.float32) * 3
+    emb = centers[rng.integers(0, 32, N)] + rng.normal(size=(N, D)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    q = emb[rng.choice(N, 8, replace=False)].copy()
+    q += rng.normal(size=q.shape).astype(np.float32) * 0.02
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return emb, q
+
+
+def test_build_is_balanced(mixture, rng):
+    emb, _ = mixture
+    ivf = build_ivf(emb, nlist=64, seed=1)
+    perm = ivf["perm"]
+    c = ivf["cluster_rows"]
+    assert len(perm) == 64 * c
+    assert c % 128 == 0
+    valid = perm[perm >= 0]
+    assert len(valid) == len(emb)
+    assert len(np.unique(valid)) == len(emb)  # a permutation: no dup/loss
+
+
+def test_recall_and_exactness(mixture):
+    emb, q = mixture
+    K = 10
+    ivf = build_ivf(emb, nlist=64, seed=1)
+    dbp = permute_db(emb, ivf)
+    ref = np.argsort(-(q @ emb.T), axis=1)[:, :K]
+    args = (jnp.asarray(q), jnp.asarray(dbp), jnp.asarray(ivf["centroids"]),
+            jnp.asarray(ivf["perm"]))
+    _, i8 = ivf_search(*args, K, 8, interpret=True)
+    rec8 = np.mean([len(set(np.asarray(i8)[r]) & set(ref[r])) / K
+                    for r in range(len(q))])
+    assert rec8 > 0.9, f"recall@10 at nprobe=8/64 was {rec8}"
+    # full probe == exact flat search
+    v, i = ivf_search(*args, K, 64, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i), ref)
+
+
+def test_mincov_filter(mixture, rng):
+    emb, q = mixture
+    ivf = build_ivf(emb, nlist=32, seed=1)
+    dbp = permute_db(emb, ivf)
+    lengths = rng.uniform(50, 300, len(emb)).astype(np.float32)
+    perm = ivf["perm"]
+    lp = np.full(len(perm), 1e9, np.float32)
+    lp[perm >= 0] = lengths[perm[perm >= 0]]
+    qlen = np.full(len(q), 120.0, np.float32)
+    v, i = ivf_search(jnp.asarray(q), jnp.asarray(dbp),
+                      jnp.asarray(ivf["centroids"]), jnp.asarray(perm),
+                      15, 32, tlen=jnp.asarray(lp), qlen=jnp.asarray(qlen),
+                      mincov=0.7, use_len=True, interpret=True)
+    v, i = np.asarray(v), np.asarray(i)
+    for r in range(len(q)):
+        for val, idx in zip(v[r], i[r]):
+            if idx >= 0 and np.isfinite(val):
+                assert 120.0 >= lengths[idx] * 0.7
+
+
+def test_engine_ivf_mode(tmp_path, rng, mixture):
+    from merizo_search_tpu.db import codecs
+    from merizo_search_tpu.search.engine import SearchEngine
+
+    emb, q = mixture
+    entries = [(f"d{i}", rng.normal(size=(50, 3)).astype(np.float32), "A" * 50)
+               for i in range(len(emb))]
+    prefix = str(tmp_path / "db")
+    codecs.write_pt_db(prefix, emb, entries)
+    eng = SearchEngine(codecs.FlatDB.open(prefix), index="ivf",
+                       ivf_nlist=64, ivf_nprobe=16)
+    vals, idxs = eng.search(q, k=5)
+    ref = np.argsort(-(q @ emb.T), axis=1)[:, :5]
+    rec = np.mean([len(set(idxs[r]) & set(ref[r])) / 5 for r in range(len(q))])
+    assert rec > 0.9
