@@ -368,6 +368,10 @@ def serve(argv):
     p.add_argument("--merizo_weights", type=str, default=None)
     p.add_argument("--tmalign_backend", type=str, default="auto",
                    choices=["auto", "native", "tpu"])
+    p.add_argument("--search_index", type=str, default="flat",
+                   choices=["flat", "ivf"])
+    p.add_argument("--nprobe", type=int, default=32)
+    p.add_argument("--nlist", type=int, default=0)
     args = p.parse_args(argv)
     _apply_device(args.device)
 
@@ -376,7 +380,9 @@ def serve(argv):
     run_server(args.db_name, host=args.host, port=args.port,
                mesh=_mesh(args.mesh), precision=args.precision,
                weights=args.weights, merizo_weights=args.merizo_weights,
-               tmalign_backend=args.tmalign_backend)
+               tmalign_backend=args.tmalign_backend,
+               search_index=args.search_index, nprobe=args.nprobe,
+               nlist=args.nlist)
 
 
 USAGE = """Usage: python -m merizo_search_tpu.cli <mode> <args>

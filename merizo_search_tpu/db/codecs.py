@@ -241,7 +241,7 @@ class FlatDB:
             mdfn, mifn = db_name + ".metadata", db_name + ".metadata.index"
             has_meta = os.path.exists(mdfn) and os.path.exists(mifn)
             return cls(
-                "pt", _emb=emb, _index=index, _lengths=lengths,
+                "pt", prefix=db_name, _emb=emb, _index=index, _lengths=lengths,
                 _meta_se=read_startend(mifn, len(index)) if has_meta else None,
                 _meta_blob=mdfn if has_meta else None,
                 size=emb.shape[0], dim=emb.shape[1], normalised=False,
@@ -258,7 +258,7 @@ class FlatDB:
             ca_se = read_startend(os.path.join(d, info["cif"]), size)
             has_meta = "mif" in info and "mdf" in info
             return cls(
-                "mmap", _emb=emb, _names=names,
+                "mmap", prefix=db_name, _emb=emb, _names=names,
                 _seq_se=seq_se, _seq_blob=os.path.join(d, info["sdf"]),
                 _ca_se=ca_se, _ca_blob=os.path.join(d, info["cdf"]),
                 _meta_se=read_startend(os.path.join(d, info["mif"]), size) if has_meta else None,

@@ -84,12 +84,20 @@ def read_ca_mmcif(path: str, chain: str = "A") -> dict:
 
     coords, seq = [], []
     chain_field = "auth_asym_id" if "auth_asym_id" in idx else "label_asym_id"
+    first_model = None
     for row in rows:
         if col(row, "group_PDB", "ATOM") != "ATOM":
             continue
         if col(row, "label_atom_id") != "CA":
             continue
         if col(row, chain_field, "A") != chain:
+            continue
+        # multi-model entries (NMR) share one _atom_site loop — keep only
+        # the first model or every residue appears once per model
+        model = col(row, "pdbx_PDB_model_num", "1")
+        if first_model is None:
+            first_model = model
+        elif model != first_model:
             continue
         alt = col(row, "label_alt_id", ".")
         if alt not in (".", "?", "A"):

@@ -27,14 +27,7 @@ from .embed import embed_structures, load_foldclass_params, MAX_RES
 logger = logging.getLogger(__name__)
 
 
-EXTS = (".pdb", ".cif", ".mmcif", ".cif.gz", ".mmcif.gz")
-
-
-def _strip_ext(name: str) -> str:
-    for e in EXTS:
-        if name.endswith(e):
-            return name[:-len(e)]
-    return name
+from ..utils.names import STRUCT_EXTS as EXTS, strip_struct_ext as _strip_ext
 
 
 def list_pdb_files(input_dir: str) -> list[str]:
@@ -82,7 +75,9 @@ def run_createdb(input_dir: str, out_db: str, weights: str | None = None,
     def _parse(path):
         try:
             return path, read_ca(path)
-        except ValueError:
+        except (ValueError, TypeError, KeyError, OSError, EOFError) as e:
+            # malformed/truncated files must not abort an hours-long build
+            logger.warning("unreadable structure file %s: %s", path, e)
             return path, None
 
     for c0 in range(skip_files, len(files), chunk_files):

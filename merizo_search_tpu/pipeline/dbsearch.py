@@ -32,6 +32,7 @@ from ..io.pdb import read_ca
 from ..search.engine import SearchEngine
 from ..align import rescore_pairs
 from ..utils import profiling
+from ..utils.names import struct_basename
 from .embed import embed_structures, load_foldclass_params, MAX_RES
 
 logger = logging.getLogger(__name__)
@@ -124,8 +125,8 @@ def run_dbsearch(inputs, db_name: str, topk: int = 1, fastmode: bool = False,
     def base_hit(qi, score, i, tm_output):
         q = queries[qi]
         return {
-            "query": os.path.basename(q["name"]).replace(".pdb", ""),
-            "target": os.path.basename(db.name(i)).replace(".pdb", ""),
+            "query": struct_basename(q["name"]),
+            "target": struct_basename(db.name(i)),
             "score": score,
             "q_len": len(q["seq"]),
             "t_len": int(db.lengths()[i]),

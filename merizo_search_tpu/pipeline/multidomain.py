@@ -24,6 +24,7 @@ import numpy as np
 from ..db.codecs import FlatDB
 from ..io.pdb import read_ca
 from ..align import rescore_pairs
+from ..utils.names import strip_struct_ext
 
 logger = logging.getLogger(__name__)
 
@@ -34,7 +35,7 @@ FIELD_SEP = ":"
 def domid2chainid(x: str) -> str:
     """'cath-dompdb/2pi4A04.pdb' -> '2pi4A'; 'AF-..._TED02.pdb' -> 'AF-...'
     (parity: dbsearch_fulllength.py:36-39)."""
-    base = os.path.basename(x).removesuffix(".pdb")
+    base = strip_struct_ext(os.path.basename(x))
     return re.sub(r"[0-9]{2}$", "", base).rstrip("_").removesuffix("_TED")
 
 
@@ -126,7 +127,7 @@ def multi_domain_search(queries, search_results, db_name: str,
     qd_info = {}
     dom_names = []
     for q in queries:
-        name = os.path.basename(q["name"]).removesuffix(".pdb")
+        name = strip_struct_ext(os.path.basename(q["name"]))
         qd_info[name] = q
         dom_names.append(name)
 
@@ -175,7 +176,7 @@ def multi_domain_search(queries, search_results, db_name: str,
         for i in extract:
             name, coords, seq = db.entry(i)
             entries.append({
-                "hd": os.path.basename(name).removesuffix(".pdb"),
+                "hd": strip_struct_ext(os.path.basename(name)),
                 "coords": coords, "seq": seq, "hi": i, "hm": db.metadata(i),
             })
 

@@ -19,6 +19,7 @@ Three execution modes over the same `ops.topk` scan core:
 from __future__ import annotations
 
 import logging
+import os
 import time
 from functools import partial
 
@@ -155,7 +156,28 @@ class SearchEngine:
         if self.index == "ivf":
             from . import ivf as ivf_mod
 
-            ivf = ivf_mod.build_ivf(emb, self.ivf_nlist)
+            # persist the build next to the DB: centroids + permutation are
+            # deterministic per (db, nlist) and building costs more than one
+            # flat scan, so one-shot CLI runs and server restarts reuse it
+            cache = None
+            prefix = getattr(self.db, "prefix", None)
+            if prefix:
+                cache = f"{prefix}.ivf{self.ivf_nlist}.npz"
+            if cache and os.path.exists(cache):
+                z = np.load(cache)
+                ivf = {"centroids": z["centroids"], "perm": z["perm"],
+                       "cluster_rows": int(z["cluster_rows"]),
+                       "nlist": self.ivf_nlist}
+                logger.info("IVF loaded from %s", cache)
+            else:
+                ivf = ivf_mod.build_ivf(emb, self.ivf_nlist)
+                if cache:
+                    try:
+                        np.savez(cache, centroids=ivf["centroids"],
+                                 perm=ivf["perm"],
+                                 cluster_rows=ivf["cluster_rows"])
+                    except OSError as e:
+                        logger.warning("could not cache IVF build: %s", e)
             dbp = ivf_mod.permute_db(
                 emb, ivf, np.dtype("bfloat16") if self.dtype == jnp.bfloat16
                 else np.float32)
@@ -166,6 +188,7 @@ class SearchEngine:
             self._dlen = jax.device_put(lp)
             self._ivf = {"centroids": jax.device_put(ivf["centroids"]),
                          "perm": jax.device_put(perm)}
+            self.ivf_nlist = int(ivf["centroids"].shape[0])  # build may clamp
             self._n_valid = emb.shape[0]
             self._chunk_eff = self.chunk
             self._resident = True

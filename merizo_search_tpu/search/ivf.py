@@ -73,6 +73,13 @@ def build_ivf(emb: np.ndarray, nlist: int, iters: int = 10,
     """
     n, d = emb.shape
     rng = np.random.default_rng(seed)
+    # clamp nlist: need >= nlist training rows to seed centroids, and more
+    # clusters than ~N/BLOCK just pads every cluster to one near-empty block
+    cap = max(1, min(min(train_sample, n), -(-n // BLOCK)))
+    if nlist > cap:
+        logger.warning("IVF nlist %d too large for %d rows; using %d",
+                       nlist, n, cap)
+        nlist = cap
     # cluster size: equal, block-aligned
     c_rows = -(-n // nlist)
     c_rows = -(-c_rows // BLOCK) * BLOCK

@@ -206,23 +206,27 @@ def segment_structures(params, paths: list[str], chains: list[str],
     """
     t0 = time.time()
 
-    def featurise(args):
-        path, chain = args
-        try:
-            return generate_features(path, chain)
-        except (ValueError, KeyError, OSError) as e:
-            logger.warning("could not featurise %s: %s", path, e)
-            return None
+    if len(paths) == 1:
+        # single input: parse errors propagate (a wrong --pdb_chain must be
+        # a hard failure, not a silently empty result)
+        feats = [generate_features(paths[0], chains[0])]
+    else:
+        def featurise(args):
+            path, chain = args
+            try:
+                return generate_features(path, chain)
+            except (ValueError, KeyError, OSError) as e:
+                logger.warning("could not featurise %s: %s", path, e)
+                return None
 
-    if len(paths) > 2:
         # PDB parsing + distance matrices + frames are numpy/scipy kernels
         # that release the GIL — thread the featurisation
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=min(8, len(paths))) as ex:
             feats = list(ex.map(featurise, zip(paths, chains)))
-    else:
-        feats = [featurise(a) for a in zip(paths, chains)]
+        if not any(f is not None for f in feats):
+            raise ValueError("none of the input structures could be featurised")
 
     groups: dict[int, list[int]] = {}
     for i, f in enumerate(feats):
@@ -234,11 +238,14 @@ def segment_structures(params, paths: list[str], chains: list[str],
         # cap at 16 so each bucket compiles at most 5 batch shapes (1..16)
         bsz = max(1, min(16, PAIR_BUDGET // (bucket * bucket)))
         for c0 in range(0, len(idxs), bsz):
+            t_batch = time.time()
             sel = idxs[c0:c0 + bsz]
-            # two batch shapes per bucket (1 and bsz): singles stay cheap and
-            # multi-structure batches compile exactly once per bucket;
-            # padding repeats the last structure (results discarded)
-            bpad = 1 if len(sel) == 1 else bsz
+            # pad the batch to the next power of two (<= bsz) so each bucket
+            # compiles O(log bsz) shapes and remainder batches don't waste a
+            # full-width forward; padding repeats the last structure
+            bpad = 1
+            while bpad < len(sel):
+                bpad *= 2
             padded = sel + [sel[-1]] * (bpad - len(sel))
             inp = [np.concatenate(arrs) for arrs in zip(*[
                 _padded_features(feats[i], np.arange(feats[i]["nres"]), bucket)
@@ -265,5 +272,9 @@ def segment_structures(params, paths: list[str], chains: list[str],
                     length_conditional_iterate, max_iterations,
                     min_domain_size, min_fragment_size, domain_ave_size,
                     shuffle_indices)
-                results[i]["runtime"] = time.time() - t0  # batch wall so far
+            # per-structure runtime = this batch's wall clock amortised over
+            # its structures (work is genuinely shared within a batch)
+            dt = (time.time() - t_batch) / len(sel)
+            for i, *_ in pending:
+                results[i]["runtime"] = dt
     return results

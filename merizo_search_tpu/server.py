@@ -38,9 +38,13 @@ logger = logging.getLogger(__name__)
 class SearchService:
     """Resident models + database + search pipeline."""
 
+    MAX_K = 1000
+    MAX_QUERY_RES = 20000
+
     def __init__(self, db_name: str, mesh=None, precision: str = "bf16",
                  weights: str | None = None, merizo_weights: str | None = None,
-                 tmalign_backend: str = "auto"):
+                 tmalign_backend: str = "auto", search_index: str = "flat",
+                 nprobe: int = 32, nlist: int = 0):
         import jax.numpy as jnp
 
         from .db.codecs import FlatDB
@@ -51,7 +55,9 @@ class SearchService:
         dtype = {"fp32": jnp.float32, "bf16": jnp.bfloat16,
                  "int8": jnp.int8}[precision]
         self.db = FlatDB.open(db_name)
-        self.engine = SearchEngine(self.db, mesh=mesh, dtype=dtype)
+        self.engine = SearchEngine(self.db, mesh=mesh, dtype=dtype,
+                                   index=search_index, ivf_nlist=nlist,
+                                   ivf_nprobe=nprobe)
         self.fc_params = load_foldclass_params(weights)
         self.mz_params = load_merizo_params(merizo_weights)
         self.tmalign_backend = tmalign_backend
@@ -64,15 +70,32 @@ class SearchService:
                     self.engine.mode)
 
     # -- request handling ---------------------------------------------------
+    def _clamp_k(self, body: dict) -> int:
+        """Client-controlled k is bounded: an absurd k would allocate
+        k-wide result/pad arrays and OOM the shared service."""
+        try:
+            k = int(body.get("k", 1))
+        except (TypeError, ValueError):
+            raise ValueError("'k' must be an integer")
+        if not 1 <= k <= self.MAX_K:
+            raise ValueError(f"'k' must be in [1, {self.MAX_K}]")
+        return k
+
     def _query_struct(self, body: dict) -> dict:
         from .io.pdb import read_ca
 
         if "coords" in body:
             coords = np.asarray(body["coords"], np.float32)
+            if coords.ndim != 2 or coords.shape[1] != 3:
+                raise ValueError("'coords' must be [N, 3]")
+            if len(coords) > self.MAX_QUERY_RES:
+                raise ValueError(f"query too large (> {self.MAX_QUERY_RES} residues)")
             seq = body.get("seq", "A" * len(coords))
             return {"coords": coords, "seq": seq,
                     "name": body.get("name", "query")}
         if "pdb" in body:
+            if len(body["pdb"]) > 64 * self.MAX_QUERY_RES:
+                raise ValueError("PDB body too large")
             with tempfile.NamedTemporaryFile("w", suffix=".pdb") as fh:
                 fh.write(body["pdb"])
                 fh.flush()
@@ -87,7 +110,7 @@ class SearchService:
         q = self._query_struct(body)
         results, _ = run_dbsearch(
             [q], db_name=None, engine=self.engine, params=self.fc_params,
-            topk=int(body.get("k", 1)),
+            topk=self._clamp_k(body),
             mincos=float(body.get("mincos", 0.5)),
             mintm=float(body.get("mintm", 0.5)),
             mincov=float(body.get("mincov", 0.7)),
@@ -122,7 +145,7 @@ class SearchService:
         if domains:
             results, _ = run_dbsearch(
                 domains, db_name=None, engine=self.engine,
-                params=self.fc_params, topk=int(body.get("k", 1)),
+                params=self.fc_params, topk=self._clamp_k(body),
                 mincos=float(body.get("mincos", 0.5)),
                 mintm=float(body.get("mintm", 0.5)),
                 mincov=float(body.get("mincov", 0.7)),

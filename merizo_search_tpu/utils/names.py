@@ -1,0 +1,24 @@
+"""Structure-file naming helpers shared by createdb/search/multidomain."""
+
+from __future__ import annotations
+
+import os
+
+STRUCT_EXTS = (".pdb", ".cif", ".mmcif", ".cif.gz", ".mmcif.gz")
+
+
+def strip_struct_ext(name: str) -> str:
+    """Drop a structure-file extension (.pdb/.cif/.mmcif, optionally .gz).
+
+    The reference only ever strips '.pdb' (e.g. dbsearch.py target names,
+    dbsearch_fulllength.py:36-39); with mmCIF inputs supported, every
+    consumer must strip consistently or chain grouping silently breaks.
+    """
+    for e in STRUCT_EXTS:
+        if name.endswith(e):
+            return name[:-len(e)]
+    return name
+
+
+def struct_basename(path: str) -> str:
+    return strip_struct_ext(os.path.basename(path))

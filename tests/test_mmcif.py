@@ -85,3 +85,39 @@ def test_createdb_accepts_mmcif(ref_struct, tmp_path):
     db = FlatDB.open(out)
     assert db.name(0) == "one"
     assert db.seq(0) == ref_struct["seq"][:60]
+
+
+def test_struct_basename_strips_all_extensions():
+    from merizo_search_tpu.utils.names import struct_basename
+    from merizo_search_tpu.pipeline.multidomain import domid2chainid
+
+    assert struct_basename("/x/2pi4A04.cif") == "2pi4A04"
+    assert struct_basename("/x/2pi4A04.mmcif.gz") == "2pi4A04"
+    assert struct_basename("/x/2pi4A04.pdb") == "2pi4A04"
+    # chain grouping must work for cif-built databases too
+    assert domid2chainid("2pi4A04.cif") == "2pi4A"
+
+
+def test_multimodel_mmcif_first_model_only(tmp_path):
+    txt = """data_m
+#
+loop_
+_atom_site.group_PDB
+_atom_site.label_atom_id
+_atom_site.label_alt_id
+_atom_site.label_comp_id
+_atom_site.auth_asym_id
+_atom_site.Cartn_x
+_atom_site.Cartn_y
+_atom_site.Cartn_z
+_atom_site.pdbx_PDB_model_num
+ATOM CA . ALA A 0.0 0.0 0.0 1
+ATOM CA . GLY A 3.8 0.0 0.0 1
+ATOM CA . ALA A 0.1 0.1 0.0 2
+ATOM CA . GLY A 3.9 0.1 0.0 2
+#
+"""
+    p = str(tmp_path / "m.cif")
+    open(p, "w").write(txt)
+    d = read_ca(p, chain="A")
+    assert d["seq"] == "AG"  # model 1 only, not 'AGAG'

@@ -83,3 +83,11 @@ def test_segment_outputs_and_schema(params, examples_dir, tmp_path):
         assert d["coords"].ndim == 2 and d["coords"].shape[1] == 3
         assert len(d["seq"]) == d["coords"].shape[0]
         assert 0.0 <= d["dom_conf"] <= 1.0
+
+
+def test_single_input_bad_chain_raises(params, examples_dir):
+    from merizo_search_tpu.segment.pipeline import segment_structures
+
+    with pytest.raises(ValueError):
+        segment_structures(params,
+                           [os.path.join(examples_dir, "3w5h.pdb")], ["Z"])
