@@ -268,6 +268,19 @@ class FlatDB:
         raise FileNotFoundError(
             f"{db_name} is not a valid db: neither {db_name}.pt nor {db_name}.json found")
 
+    @classmethod
+    def from_arrays(cls, embeddings: np.ndarray,
+                    entries: list[tuple[str, np.ndarray, str]],
+                    normalised: bool = False):
+        """In-memory database over (name, ca_coords, seq) entries — lets
+        createdb stream straight into a SearchEngine without a disk
+        round-trip (used by build-and-serve deployments and tests)."""
+        emb = np.asarray(embeddings, np.float32)
+        lengths = np.asarray([len(e[2]) for e in entries], np.int32)
+        return cls("pt", prefix=None, _emb=emb, _index=list(entries),
+                   _lengths=lengths, _meta_se=None, _meta_blob=None,
+                   size=emb.shape[0], dim=emb.shape[1], normalised=normalised)
+
     # -- embeddings ---------------------------------------------------------
     def embeddings(self) -> np.ndarray:
         return self._emb

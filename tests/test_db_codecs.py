@@ -101,3 +101,20 @@ def test_reference_index_files_parse(examples_dir):
     assert len(names) == 66943
     first = names[0].decode().rstrip()
     assert len(first) > 0 and len(first) <= 32
+
+
+def test_flatdb_from_arrays(rng):
+    from merizo_search_tpu.db.codecs import FlatDB
+    from merizo_search_tpu.search.engine import SearchEngine
+
+    embs = rng.normal(size=(20, 128)).astype(np.float32)
+    entries = [(f"e{i}", rng.normal(size=(40, 3)).astype(np.float32), "A" * 40)
+               for i in range(20)]
+    db = FlatDB.from_arrays(embs, entries)
+    assert db.size == 20 and db.kind == "pt"
+    assert db.name(3) == "e3"
+    assert db.entry(5)[2] == "A" * 40
+    eng = SearchEngine(db)
+    q = embs[:2]
+    vals, idxs = eng.search(q, k=1)
+    np.testing.assert_array_equal(idxs[:, 0], [0, 1])
