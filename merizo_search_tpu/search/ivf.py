@@ -98,7 +98,7 @@ def build_ivf(emb: np.ndarray, nlist: int, iters: int = 10,
     # over-full cluster keeps its c_rows highest-affinity rows and spills
     # the rest to their next preference. Rows exhausting all preferences
     # (rare) back-fill whatever clusters have room.
-    NPREF = 8
+    NPREF = min(8, nlist)
     pref = np.empty((n, NPREF), np.int32)
     pscore = np.empty((n, NPREF), np.float32)
     dcent = jnp.asarray(cent)
