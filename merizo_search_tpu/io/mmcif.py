@@ -43,9 +43,8 @@ def _tokenize(line: str) -> list[str]:
     return out
 
 
-def read_ca_mmcif(path: str, chain: str = "A") -> dict:
-    """CA-only mmCIF reader. Prefers auth_asym_id for chain matching (what
-    PDB-derived files label chains with), falling back to label_asym_id."""
+def _atom_site(path: str):
+    """Extract the _atom_site loop: (field->column dict, token rows)."""
     op = gzip.open if path.endswith(".gz") else open
     with op(path, "rt") as fh:
         lines = fh.read().splitlines()
@@ -76,7 +75,13 @@ def read_ca_mmcif(path: str, chain: str = "A") -> dict:
 
     if not fields:
         raise ValueError(f"no _atom_site loop in mmCIF file {path}")
-    idx = {f: k for k, f in enumerate(fields)}
+    return {f: k for k, f in enumerate(fields)}, rows
+
+
+def read_ca_mmcif(path: str, chain: str = "A") -> dict:
+    """CA-only mmCIF reader. Prefers auth_asym_id for chain matching (what
+    PDB-derived files label chains with), falling back to label_asym_id."""
+    idx, rows = _atom_site(path)
 
     def col(row, name, default=None):
         k = idx.get(name)
@@ -110,3 +115,59 @@ def read_ca_mmcif(path: str, chain: str = "A") -> dict:
         raise ValueError(f"Chain ID {chain!r} not present in mmCIF file {path}")
     return {"coords": np.asarray(coords, np.float32),
             "seq": "".join(seq), "name": path}
+
+
+def parse_backbone_mmcif(path: str, chain: str = "A") -> np.ndarray:
+    """Backbone (N, CA, C, O) mmCIF parser with the same semantics as
+    io.pdb.parse_backbone: first model, special-residue remapping,
+    altloc-by-occupancy resolution, complete-backbone filter, resi sort.
+    Returns a structured array with io.pdb.ATOM_DTYPE fields."""
+    from .pdb import ATOM_DTYPE, BACKBONE_ATOMS, finalize_backbone
+    from ..utils.residues import SPECIAL_AA_CONVERT, EXCLUDE_AA
+
+    idx, rows = _atom_site(path)
+
+    def col(row, name, default=None):
+        k = idx.get(name)
+        return row[k] if k is not None and k < len(row) else default
+
+    chain_field = "auth_asym_id" if "auth_asym_id" in idx else "label_asym_id"
+    resi_field = "auth_seq_id" if "auth_seq_id" in idx else "label_seq_id"
+    first_model = None
+    recs = []
+    for row in rows:
+        grp = col(row, "group_PDB", "ATOM")
+        resn = col(row, "label_comp_id", "")
+        if grp == "HETATM":
+            if resn not in SPECIAL_AA_CONVERT:
+                continue
+        elif grp != "ATOM":
+            continue
+        name = col(row, "label_atom_id")
+        if name not in BACKBONE_ATOMS:
+            continue
+        if col(row, chain_field, "A") != chain:
+            continue
+        model = col(row, "pdbx_PDB_model_num", "1")
+        if first_model is None:
+            first_model = model
+        elif model != first_model:
+            continue
+        if resn in EXCLUDE_AA:
+            continue
+        resn = SPECIAL_AA_CONVERT.get(resn, resn)
+        alt = col(row, "label_alt_id", ".")
+        occ = col(row, "occupancy", "1.0")
+        b = col(row, "B_iso_or_equiv", "0.0")
+        recs.append((
+            "ATOM", int(col(row, "id", "0") or 0), name,
+            "" if alt in (".", "?") else alt, resn,
+            col(row, chain_field, "A"), int(col(row, resi_field, "0")),
+            float(col(row, "Cartn_x")), float(col(row, "Cartn_y")),
+            float(col(row, "Cartn_z")),
+            float(occ if occ not in (".", "?") else 1.0),
+            float(b if b not in (".", "?") else 0.0), 0.0))
+
+    if not recs:
+        return np.empty(0, dtype=ATOM_DTYPE)
+    return finalize_backbone(np.array(recs, dtype=ATOM_DTYPE))

@@ -77,7 +77,12 @@ def parse_backbone(path: str, chain: str = "A") -> np.ndarray:
     - output sorted by residue index (stable).
 
     Returns a structured array with ATOM_DTYPE fields.
+    mmCIF inputs (.cif/.mmcif, optionally .gz) are dispatched to io.mmcif.
     """
+    if path.endswith((".cif", ".mmcif", ".cif.gz", ".mmcif.gz")):
+        from .mmcif import parse_backbone_mmcif
+
+        return parse_backbone_mmcif(path, chain)
     mat = _line_matrix(path)
     rec = _col_str(mat, 0, 6)
 
@@ -126,6 +131,12 @@ def parse_backbone(path: str, chain: str = "A") -> np.ndarray:
     out["b"] = _col_float(_col_str(mat, 60, 66))
     out["conf"] = 0.0
 
+    return finalize_backbone(out)
+
+
+def finalize_backbone(out: np.ndarray) -> np.ndarray:
+    """Shared tail of the backbone parsers (PDB and mmCIF): altloc
+    resolution, complete-backbone filter, residue sort."""
     # Alternate-location resolution: for duplicate (resi, atom-name), keep the
     # highest-occupancy record (stable; ties -> last), cf. check_alt_res.
     order = np.arange(len(out))

@@ -121,3 +121,47 @@ ATOM CA . GLY A 3.9 0.1 0.0 2
     open(p, "w").write(txt)
     d = read_ca(p, chain="A")
     assert d["seq"] == "AG"  # model 1 only, not 'AGAG'
+
+
+def _backbone_as_mmcif(mol, chain="A") -> str:
+    fields = ["group_PDB", "id", "label_atom_id", "label_alt_id",
+              "label_comp_id", "auth_asym_id", "auth_seq_id",
+              "Cartn_x", "Cartn_y", "Cartn_z", "occupancy",
+              "B_iso_or_equiv", "pdbx_PDB_model_num"]
+    lines = ["data_bb", "#", "loop_"] + [f"_atom_site.{f}" for f in fields]
+    for a in mol:
+        lines.append(" ".join([
+            "ATOM", str(a["i"]), a["n"], ".", a["resn"], chain,
+            str(a["resi"]), f"{a['x']:.3f}", f"{a['y']:.3f}", f"{a['z']:.3f}",
+            f"{a['occ']:.2f}", f"{a['b']:.2f}", "1"]))
+    return "\n".join(lines) + "\n#\n"
+
+
+def test_backbone_mmcif_matches_pdb(examples_dir, tmp_path):
+    from merizo_search_tpu.io.pdb import parse_backbone
+
+    ref = parse_backbone(f"{examples_dir}/3w5h.pdb", chain="A")
+    p = str(tmp_path / "bb.cif")
+    open(p, "w").write(_backbone_as_mmcif(ref))
+    got = parse_backbone(p, chain="A")
+    assert len(got) == len(ref)
+    np.testing.assert_array_equal(got["resi"], ref["resi"])
+    np.testing.assert_array_equal(got["n"], ref["n"])
+    np.testing.assert_array_equal(got["resn"], ref["resn"])
+    np.testing.assert_allclose(got["x"], ref["x"], atol=1e-3)
+
+
+def test_segment_accepts_mmcif(examples_dir, tmp_path):
+    import jax
+    from merizo_search_tpu.io.pdb import parse_backbone
+    from merizo_search_tpu.models.merizo import network as mznet
+    from merizo_search_tpu.segment.pipeline import segment_structure
+
+    ref = parse_backbone(f"{examples_dir}/3w5h.pdb", chain="A")
+    p = str(tmp_path / "bb.cif")
+    open(p, "w").write(_backbone_as_mmcif(ref))
+    params = mznet.init_params(jax.random.PRNGKey(0))
+    f_cif = segment_structure(params, p)
+    f_pdb = segment_structure(params, f"{examples_dir}/3w5h.pdb")
+    assert f_cif["nres"] == f_pdb["nres"] == 272
+    np.testing.assert_array_equal(f_cif["domain_ids"], f_pdb["domain_ids"])
