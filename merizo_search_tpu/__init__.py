@@ -11,6 +11,9 @@ A from-scratch JAX/XLA/Pallas rebuild of the capabilities of psipred/merizo_sear
                    (reference: programs/Foldclass/dbsearch.py)
 - ``easy-search``— segment → embed → search → TM rescoring end-to-end
                    (reference: merizo_search/merizo.py:229)
+- ``serve``      — persistent HTTP server: database resident in device HBM,
+                   models compiled once, millisecond warm queries (no
+                   reference equivalent)
 
 The compute path is pure JAX (jit/pjit/shard_map/Pallas); host-side I/O and
 sequential heuristics are NumPy. No torch is required at inference time (torch is
