@@ -66,8 +66,27 @@ class SearchService:
         self._lock = threading.Lock()
         if self.engine.mode == "device":
             self.engine._load_resident()   # pay DB residency once, at boot
+        self._warmup()
         logger.info("service ready: %d entries (%s mode)", self.db.size,
                     self.engine.mode)
+
+    def _warmup(self):
+        """Compile the embed + scan path at boot so the first client query
+        doesn't pay tens of seconds of jit latency."""
+        try:
+            from .pipeline.dbsearch import run_dbsearch
+
+            rng = np.random.default_rng(0)
+            dummy = {"coords": np.cumsum(rng.normal(size=(64, 3)) * 1.8,
+                                         axis=0).astype(np.float32),
+                     "seq": "A" * 64, "name": "warmup"}
+            t0 = time.time()
+            run_dbsearch([dummy], db_name=None, engine=self.engine,
+                         params=self.fc_params, topk=1, skip_tmalign=True,
+                         inputs_are_ca=True)
+            logger.info("warm-up compile finished in %.1fs", time.time() - t0)
+        except Exception as e:  # warm-up must never block serving
+            logger.warning("warm-up failed (serving anyway): %s", e)
 
     # -- request handling ---------------------------------------------------
     def _clamp_k(self, body: dict) -> int:
