@@ -44,16 +44,19 @@ def _normalize_rows(x: np.ndarray) -> np.ndarray:
 def build_mesh_search(mesh: Mesh, k: int, chunk: int, mincov: float, use_lengths: bool,
                       selection: str = "exact", recall_target: float = 0.95,
                       fused: bool = False, fused_tile: int | None = None,
-                      interpret: bool = False):
+                      interpret: bool = False, quantized: bool = False):
     """Build a jitted, shard_map'd search fn for a given mesh/k/chunk.
 
     fused=True runs the Pallas fused scan on each chip's shard (TPU bf16
     shards whose row count divides the tile); otherwise the XLA scan.
+    quantized=True takes int8 shards plus per-row scales (sharded alongside
+    the rows) through the fused int8 path; query dequantisation is the
+    caller's job (scores scale per query, so per-shard ranking is unchanged).
     """
     axis = mesh.axis_names[0]
     tile = fused_tile or pallas_scan.DEFAULT_TILE
 
-    def local_fn(q, db_shard, tlen_shard, n_valid, qlen):
+    def local_fn(q, db_shard, tlen_shard, n_valid, qlen, scale_shard):
         nd = jax.lax.axis_size(axis)
         me = jax.lax.axis_index(axis)
         shard_rows = db_shard.shape[0]
@@ -62,7 +65,8 @@ def build_mesh_search(mesh: Mesh, k: int, chunk: int, mincov: float, use_lengths
             vals, idxs = pallas_scan.fused_topk(
                 q, db_shard, local_valid, k,
                 tlen=tlen_shard, qlen=qlen, mincov=mincov, tile=tile,
-                use_len=use_lengths, interpret=interpret)
+                use_len=use_lengths, interpret=interpret,
+                scales=scale_shard if quantized else None)
         else:
             vals, idxs = topk_ops.topk_scan(
                 q, db_shard, local_valid, k, chunk,
@@ -77,7 +81,8 @@ def build_mesh_search(mesh: Mesh, k: int, chunk: int, mincov: float, use_lengths
 
     fn = shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(None, None), P(axis, None), P(axis), P(None), P(None)),
+        in_specs=(P(None, None), P(axis, None), P(axis), P(None), P(None),
+                  P(axis)),
         out_specs=(P(None, None), P(None, None)),
         check_rep=False,
     )
@@ -128,8 +133,8 @@ class SearchEngine:
             and (dtype == jnp.bfloat16 or self.quantized)
             and db.size >= ndev * pallas_scan.DEFAULT_TILE
             and jax.default_backend() == "tpu")
-        if self.quantized and mesh is not None:
-            raise NotImplementedError("int8 DBs are not mesh-sharded yet")
+        if self.quantized and mesh is not None and self.mode == "stream":
+            raise NotImplementedError("int8 + mesh streaming is not supported")
         # IVF: sublinear probe for latency-sensitive serving (device mode).
         self.index = index
         self.ivf_nprobe = ivf_nprobe
@@ -211,7 +216,12 @@ class SearchEngine:
         if self.quantized:
             emb, rscale = pallas_scan.quantize_rows(emb)  # pad rows -> 0, scale 1
             if self._fused:
-                self._dscale = jax.device_put(rscale)
+                if self.mesh is not None:
+                    self._dscale = jax.device_put(
+                        rscale, NamedSharding(self.mesh,
+                                              P(self.mesh.axis_names[0])))
+                else:
+                    self._dscale = jax.device_put(rscale)
             else:
                 # off-TPU (tests): dequantise and take the XLA f32 path, so
                 # the int8 plumbing stays end-to-end testable anywhere
@@ -250,15 +260,26 @@ class SearchEngine:
             self._load_resident()
             chunk = self._chunk_eff
             if self.mesh is not None:
-                key = (k_eff, chunk, float(mincov), use_len, self._fused)
+                quant = self.quantized and self._fused
+                key = (k_eff, chunk, float(mincov), use_len, self._fused, quant)
                 if key not in self._mesh_fns:
                     self._mesh_fns[key] = build_mesh_search(
                         self.mesh, k_eff, chunk, float(mincov), use_len,
-                        self.selection, self.recall_target, fused=self._fused)
-                qd = jnp.asarray(q).astype(self.dtype) if self._fused else jnp.asarray(q)
+                        self.selection, self.recall_target, fused=self._fused,
+                        quantized=quant)
+                if quant:
+                    q8, qs = pallas_scan.quantize_rows(q)
+                    qd = jnp.asarray(q8)
+                elif self._fused:
+                    qd = jnp.asarray(q).astype(self.dtype)
+                else:
+                    qd = jnp.asarray(q)
                 vals, idxs = self._mesh_fns[key](
                     qd, self._demb, self._dlen,
-                    jnp.asarray([self._n_valid], jnp.int32), jnp.asarray(qlen))
+                    jnp.asarray([self._n_valid], jnp.int32), jnp.asarray(qlen),
+                    self._dscale if quant else self._dlen)  # dummy when flat
+                if quant:
+                    vals = vals * jnp.asarray(qs)[:, None]
             elif self._ivf is not None:
                 from . import ivf as ivf_mod
 
@@ -382,10 +403,11 @@ class SearchEngine:
                     self._mesh_fns[key] = build_mesh_search(
                         self.mesh, kk, chunk, float(mincov), use_len,
                         self.selection, self.recall_target, fused=fused)
+                dtl = jax.device_put(tl, len_sh)
                 vals, idxs = self._mesh_fns[key](
-                    dq_cast, jax.device_put(blk, row_sh),
-                    jax.device_put(tl, len_sh),
-                    jnp.asarray([nb], jnp.int32), dqlen)
+                    dq_cast, jax.device_put(blk, row_sh), dtl,
+                    jnp.asarray([nb], jnp.int32), dqlen,
+                    dtl)  # dummy scale shard (int8+mesh streaming unsupported)
             elif quant:
                 if dq8 is None:
                     q8_np, qs_np = pallas_scan.quantize_rows(np.asarray(q))

@@ -124,10 +124,36 @@ def test_fused_mesh_search_exact(problem):
     demb = jax.device_put(jnp.asarray(db), NamedSharding(mesh, P("d", None)))
     dlen = jax.device_put(jnp.asarray(tlen), NamedSharding(mesh, P("d")))
     v, i = fn(jnp.asarray(q), demb, dlen, jnp.asarray([n], jnp.int32),
-              jnp.asarray(qlen))
+              jnp.asarray(qlen), dlen)
     rv, ri = _brute(q.copy(), db, n, k, tlen, qlen, 0.7)
     np.testing.assert_array_equal(np.asarray(i), ri)
     np.testing.assert_allclose(np.asarray(v), rv, atol=2e-6)
+
+
+def test_fused_mesh_int8(problem):
+    """int8 shards + sharded row scales under shard_map: exact top-k of the
+    quantised scores across the mesh."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from merizo_search_tpu.search.engine import build_mesh_search
+    from merizo_search_tpu.ops.pallas_scan import quantize_rows
+
+    q, db, _, _ = problem
+    n, k = db.shape[0], 9
+    db8, rs = quantize_rows(db)
+    q8, qs = quantize_rows(q)
+    sq = (q8.astype(np.int64) @ db8.astype(np.int64).T) * rs[None, :].astype(np.float64)
+    ref_i = np.argsort(-sq, axis=1, kind="stable")[:, :k]
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("d",))
+    fn = build_mesh_search(mesh, k=k, chunk=256, mincov=0.0, use_lengths=False,
+                           fused=True, fused_tile=512, interpret=True,
+                           quantized=True)
+    demb = jax.device_put(jnp.asarray(db8), NamedSharding(mesh, P("d", None)))
+    dlen = jax.device_put(jnp.zeros(n, jnp.float32), NamedSharding(mesh, P("d")))
+    dscale = jax.device_put(jnp.asarray(rs), NamedSharding(mesh, P("d")))
+    v, i = fn(jnp.asarray(q8), demb, dlen, jnp.asarray([n], jnp.int32),
+              jnp.zeros(q.shape[0], jnp.float32), dscale)
+    np.testing.assert_array_equal(np.asarray(i), ref_i)
 
 
 def test_fused_topk_bf16_matches_bf16_xla(problem):
