@@ -75,17 +75,38 @@ def _atom_site(path: str):
 
     if not fields:
         raise ValueError(f"no _atom_site loop in mmCIF file {path}")
-    return {f: k for k, f in enumerate(fields)}, rows
+    idx = {f: k for k, f in enumerate(fields)}
+
+    def col(row, name, default=None):
+        """Field accessor treating missing columns AND mmCIF null tokens
+        ('.', '?') as the default."""
+        k = idx.get(name)
+        if k is None or k >= len(row):
+            return default
+        v = row[k]
+        return default if v in (".", "?") else v
+
+    return col, idx, rows
+
+
+def _to_float(v, default=0.0):
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return default
+
+
+def _to_int(v, default=0):
+    try:
+        return int(v)
+    except (TypeError, ValueError):
+        return default
 
 
 def read_ca_mmcif(path: str, chain: str = "A") -> dict:
     """CA-only mmCIF reader. Prefers auth_asym_id for chain matching (what
     PDB-derived files label chains with), falling back to label_asym_id."""
-    idx, rows = _atom_site(path)
-
-    def col(row, name, default=None):
-        k = idx.get(name)
-        return row[k] if k is not None and k < len(row) else default
+    col, idx, rows = _atom_site(path)
 
     coords, seq = [], []
     chain_field = "auth_asym_id" if "auth_asym_id" in idx else "label_asym_id"
@@ -107,8 +128,10 @@ def read_ca_mmcif(path: str, chain: str = "A") -> dict:
         alt = col(row, "label_alt_id", ".")
         if alt not in (".", "?", "A"):
             continue  # first altloc only (parity with the fast PDB reader)
-        coords.append([float(col(row, "Cartn_x")), float(col(row, "Cartn_y")),
-                       float(col(row, "Cartn_z"))])
+        x, y, z = (col(row, f) for f in ("Cartn_x", "Cartn_y", "Cartn_z"))
+        if x is None or y is None or z is None:
+            continue  # truncated/null row
+        coords.append([_to_float(x), _to_float(y), _to_float(z)])
         seq.append(THREE_TO_ONE.get(col(row, "label_comp_id", ""), "X"))
 
     if not coords:
@@ -125,11 +148,7 @@ def parse_backbone_mmcif(path: str, chain: str = "A") -> np.ndarray:
     from .pdb import ATOM_DTYPE, BACKBONE_ATOMS, finalize_backbone
     from ..utils.residues import SPECIAL_AA_CONVERT, EXCLUDE_AA
 
-    idx, rows = _atom_site(path)
-
-    def col(row, name, default=None):
-        k = idx.get(name)
-        return row[k] if k is not None and k < len(row) else default
+    col, idx, rows = _atom_site(path)
 
     chain_field = "auth_asym_id" if "auth_asym_id" in idx else "label_asym_id"
     resi_field = "auth_seq_id" if "auth_seq_id" in idx else "label_seq_id"
@@ -156,17 +175,17 @@ def parse_backbone_mmcif(path: str, chain: str = "A") -> np.ndarray:
         if resn in EXCLUDE_AA:
             continue
         resn = SPECIAL_AA_CONVERT.get(resn, resn)
-        alt = col(row, "label_alt_id", ".")
-        occ = col(row, "occupancy", "1.0")
-        b = col(row, "B_iso_or_equiv", "0.0")
+        x, y, z = (col(row, f) for f in ("Cartn_x", "Cartn_y", "Cartn_z"))
+        resi = col(row, resi_field)
+        if x is None or y is None or z is None or resi is None:
+            continue  # truncated or null-token row
         recs.append((
-            "ATOM", int(col(row, "id", "0") or 0), name,
-            "" if alt in (".", "?") else alt, resn,
-            col(row, chain_field, "A"), int(col(row, resi_field, "0")),
-            float(col(row, "Cartn_x")), float(col(row, "Cartn_y")),
-            float(col(row, "Cartn_z")),
-            float(occ if occ not in (".", "?") else 1.0),
-            float(b if b not in (".", "?") else 0.0), 0.0))
+            "ATOM", _to_int(col(row, "id", "0")), name,
+            col(row, "label_alt_id", ""), resn,
+            col(row, chain_field, "A"), _to_int(resi),
+            _to_float(x), _to_float(y), _to_float(z),
+            _to_float(col(row, "occupancy"), 1.0),
+            _to_float(col(row, "B_iso_or_equiv"), 0.0), 0.0))
 
     if not recs:
         return np.empty(0, dtype=ATOM_DTYPE)

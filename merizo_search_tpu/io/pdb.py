@@ -79,7 +79,9 @@ def parse_backbone(path: str, chain: str = "A") -> np.ndarray:
     Returns a structured array with ATOM_DTYPE fields.
     mmCIF inputs (.cif/.mmcif, optionally .gz) are dispatched to io.mmcif.
     """
-    if path.endswith((".cif", ".mmcif", ".cif.gz", ".mmcif.gz")):
+    from ..utils.names import CIF_EXTS
+
+    if path.endswith(CIF_EXTS):
         from .mmcif import parse_backbone_mmcif
 
         return parse_backbone_mmcif(path, chain)
@@ -186,7 +188,9 @@ def read_ca(path: str, chain: str = "A") -> dict:
     Returns {'coords': float32 [N,3], 'seq': str, 'name': path}.
     mmCIF inputs (.cif/.mmcif, optionally .gz) are dispatched to io.mmcif.
     """
-    if path.endswith((".cif", ".mmcif", ".cif.gz", ".mmcif.gz")):
+    from ..utils.names import CIF_EXTS
+
+    if path.endswith(CIF_EXTS):
         from .mmcif import read_ca_mmcif
 
         return read_ca_mmcif(path, chain)

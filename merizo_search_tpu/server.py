@@ -71,19 +71,26 @@ class SearchService:
                     self.engine.mode)
 
     def _warmup(self):
-        """Compile the embed + scan path at boot so the first client query
-        doesn't pay tens of seconds of jit latency."""
+        """Compile the embed (+ scan, device mode) path at boot so the first
+        client query doesn't pay tens of seconds of jit latency. In stream
+        mode a real search would scan the whole on-disk DB, so only the
+        embedder warms."""
         try:
-            from .pipeline.dbsearch import run_dbsearch
-
             rng = np.random.default_rng(0)
             dummy = {"coords": np.cumsum(rng.normal(size=(64, 3)) * 1.8,
                                          axis=0).astype(np.float32),
                      "seq": "A" * 64, "name": "warmup"}
             t0 = time.time()
-            run_dbsearch([dummy], db_name=None, engine=self.engine,
-                         params=self.fc_params, topk=1, skip_tmalign=True,
-                         inputs_are_ca=True)
+            if self.engine.mode == "device":
+                from .pipeline.dbsearch import run_dbsearch
+
+                run_dbsearch([dummy], db_name=None, engine=self.engine,
+                             params=self.fc_params, topk=1, skip_tmalign=True,
+                             inputs_are_ca=True)
+            else:
+                from .pipeline.embed import embed_structures
+
+                embed_structures(self.fc_params, [dummy["coords"]])
             logger.info("warm-up compile finished in %.1fs", time.time() - t0)
         except Exception as e:  # warm-up must never block serving
             logger.warning("warm-up failed (serving anyway): %s", e)

@@ -4,7 +4,8 @@ from __future__ import annotations
 
 import os
 
-STRUCT_EXTS = (".pdb", ".cif", ".mmcif", ".cif.gz", ".mmcif.gz")
+CIF_EXTS = (".cif", ".mmcif", ".cif.gz", ".mmcif.gz")
+STRUCT_EXTS = (".pdb",) + CIF_EXTS
 
 
 def strip_struct_ext(name: str) -> str:

@@ -165,3 +165,39 @@ def test_segment_accepts_mmcif(examples_dir, tmp_path):
     f_pdb = segment_structure(params, f"{examples_dir}/3w5h.pdb")
     assert f_cif["nres"] == f_pdb["nres"] == 272
     np.testing.assert_array_equal(f_cif["domain_ids"], f_pdb["domain_ids"])
+
+
+def test_null_tokens_and_truncated_rows(tmp_path):
+    """mmCIF '.'/'?' null tokens and truncated rows must be skipped, not
+    crash the parsers (e.g. label_seq_id '.' on non-polymer positions)."""
+    txt = """data_n
+#
+loop_
+_atom_site.group_PDB
+_atom_site.label_atom_id
+_atom_site.label_alt_id
+_atom_site.label_comp_id
+_atom_site.auth_asym_id
+_atom_site.label_seq_id
+_atom_site.Cartn_x
+_atom_site.Cartn_y
+_atom_site.Cartn_z
+ATOM N . ALA A 1 0.0 0.0 0.0
+ATOM CA . ALA A 1 1.5 0.0 0.0
+ATOM C . ALA A 1 2.5 1.0 0.0
+ATOM O . ALA A 1 3.5 1.0 0.0
+ATOM CA . GLY A . 9.9 9.9 9.9
+ATOM CA . GLY A 2
+#
+"""
+    p = str(tmp_path / "n.cif")
+    open(p, "w").write(txt)
+    from merizo_search_tpu.io.pdb import parse_backbone
+
+    bb = parse_backbone(p, chain="A")
+    assert sorted(bb["n"]) == ["C", "CA", "N", "O"]  # only the complete residue
+    assert set(bb["resi"]) == {1}
+    d = read_ca(p, chain="A")
+    # the CA reader ignores resi, so the null-resi row is kept; only the
+    # truncated row (missing coords) drops
+    assert d["seq"] == "AG"
