@@ -22,6 +22,8 @@ import threading
 
 import numpy as np
 
+from .seqid import seq_identity_count
+
 logger = logging.getLogger(__name__)
 
 _SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -137,12 +139,7 @@ def tmalign_pairs_native(pairs: list[tuple], fast: bool = False,
     for i, (q, t) in enumerate(pairs):
         qtm, ttm, rmsd, len_ali = out[4 * i:4 * i + 4]
         a = ali[qoff[i]:qoff[i] + qlen[i]]
-        n_id = 0
-        qs, ts = q.get("seq", ""), t.get("seq", "")
-        for xi in range(min(len(qs), len(a))):
-            j = a[xi]
-            if 0 <= j < len(ts) and qs[xi] == ts[j]:
-                n_id += 1
+        n_id = seq_identity_count(q.get("seq", ""), t.get("seq", ""), a)
         la = int(len_ali)
         results.append({
             "len_ali": la,

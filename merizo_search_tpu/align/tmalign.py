@@ -36,6 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from .kabsch import kabsch, transform
+from .seqid import seq_identity_count
 
 GAP = -0.6
 NEG = -1e4
@@ -311,11 +312,7 @@ def tmalign_pairs(pairs: list[tuple], fast: bool = False) -> list[dict]:
         ali = np.asarray(out["ali"])
         for k, i in enumerate(idxs):
             q, t = pairs[i]
-            n_id = 0
-            for xi in range(min(len(q["seq"]), b)):
-                j = ali[k, xi]
-                if j >= 0 and j < len(t["seq"]) and q["seq"][xi] == t["seq"][j]:
-                    n_id += 1
+            n_id = seq_identity_count(q["seq"][:b], t["seq"], ali[k])
             la = int(len_ali[k])
             results[i] = {
                 "len_ali": la,

@@ -126,6 +126,24 @@ def _add_merizo_flags(p: argparse.ArgumentParser):
                    help="Directory with converted Merizo weight shards.")
 
 
+def _fix_positional_tail(args) -> None:
+    """Disambiguate `input+ db_name output [tmp]`.
+
+    The reference requires `tmp` (merizo.py:132); here it is optional, but
+    argparse's greedy match for 'A+ A A A?' always leaves tmp=None and feeds
+    the extra value to `input`. When that happened (the would-be db_name is
+    not a database but the last 'input' is), shift the tail one slot right.
+    """
+    from .io.results import database_exists
+
+    if (args.tmp is None and len(args.input) > 1
+            and not database_exists(args.db_name)
+            and database_exists(args.input[-1])):
+        args.tmp = args.output
+        args.output = args.db_name
+        args.db_name = args.input.pop()
+
+
 def _apply_device(device: str | None):
     if device:
         import jax
@@ -292,6 +310,7 @@ def search(argv):
     _add_search_flags(p)
     _add_trace_flag(p)
     args = p.parse_args(argv)
+    _fix_positional_tail(args)
     _apply_device(args.device)
     from .utils import profiling
     t0 = time.time()
@@ -318,6 +337,7 @@ def easy_search(argv):
     _add_trace_flag(p)
     _add_merizo_flags(p)
     args = p.parse_args(argv)
+    _fix_positional_tail(args)
     _apply_device(args.device)
 
     from .models.merizo.network import load_merizo_params

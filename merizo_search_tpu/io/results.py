@@ -34,6 +34,13 @@ def parse_output_format(format_str: str, expected_str: str) -> list[str]:
     return wanted
 
 
+def database_exists(db_name: str) -> bool:
+    """True if `db_name` names a complete database in either on-disk layout."""
+    if os.path.exists(db_name + ".json"):
+        return True
+    return os.path.exists(db_name + ".pt") and os.path.exists(db_name + ".index")
+
+
 def check_for_database(db_name: str) -> None:
     """Parity: programs/utils.py:23-35."""
     if os.path.exists(db_name + ".json"):

@@ -118,3 +118,19 @@ def test_batched_matches_single(rng):
     for got, want in zip(batch, singles):
         assert abs(got["qtm"] - want["qtm"]) < 1e-5
         assert got["len_ali"] == want["len_ali"]
+
+
+def test_seq_identity_count_matches_loop():
+    from merizo_search_tpu.align.seqid import seq_identity_count
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        nq, nt = rng.integers(0, 40, 2)
+        qs = "".join(rng.choice(list("ACDEFGHIKLMNPQRSTVWY"), nq))
+        ts = "".join(rng.choice(list("ACDEFGHIKLMNPQRSTVWY"), nt))
+        ali = rng.integers(-1, max(nt, 1) + 5, nq + 3).astype(np.int32)
+        ref = 0
+        for xi in range(min(len(qs), len(ali))):
+            j = ali[xi]
+            if 0 <= j < len(ts) and qs[xi] == ts[j]:
+                ref += 1
+        assert seq_identity_count(qs, ts, ali) == ref
