@@ -133,19 +133,21 @@ class SearchEngine:
             and (dtype == jnp.bfloat16 or self.quantized)
             and db.size >= ndev * pallas_scan.DEFAULT_TILE
             and jax.default_backend() == "tpu")
-        if self.quantized and mesh is not None and self.mode == "stream":
-            raise NotImplementedError("int8 + mesh streaming is not supported")
-        # IVF: sublinear probe for latency-sensitive serving (device mode).
+        # IVF: sublinear probe for latency-sensitive serving (device mode;
+        # single chip or mesh-sharded clusters).
         self.index = index
         self.ivf_nprobe = ivf_nprobe
         self._ivf = None
         if index == "ivf":
-            if mesh is not None or self.quantized or self.mode != "device":
-                raise NotImplementedError("IVF currently supports single-"
-                                          "device fp32/bf16 resident DBs")
-            # default nlist ~ sqrt(N), power of two, >= 16
+            if self.quantized or self.mode != "device":
+                raise NotImplementedError("IVF currently supports fp32/bf16 "
+                                          "resident DBs (single device or mesh)")
+            # default nlist ~ sqrt(N), power of two, >= 16 (and a multiple of
+            # the mesh size so shard boundaries fall on cluster boundaries)
             self.ivf_nlist = ivf_nlist or max(16, 1 << int(
                 np.ceil(np.log2(max(np.sqrt(db.size), 16)))))
+            if self.ivf_nlist % ndev:
+                self.ivf_nlist = -(-self.ivf_nlist // ndev) * ndev
         elif index != "flat":
             raise ValueError(f"unknown index type: {index}")
 
@@ -172,10 +174,11 @@ class SearchEngine:
                 z = np.load(cache)
                 ivf = {"centroids": z["centroids"], "perm": z["perm"],
                        "cluster_rows": int(z["cluster_rows"]),
-                       "nlist": self.ivf_nlist}
+                       "nlist": int(z["centroids"].shape[0])}
                 logger.info("IVF loaded from %s", cache)
             else:
-                ivf = ivf_mod.build_ivf(emb, self.ivf_nlist)
+                ivf = ivf_mod.build_ivf(emb, self.ivf_nlist,
+                                        multiple_of=self.ndev)
                 if cache:
                     try:
                         np.savez(cache, centroids=ivf["centroids"],
@@ -183,16 +186,30 @@ class SearchEngine:
                                  cluster_rows=ivf["cluster_rows"])
                     except OSError as e:
                         logger.warning("could not cache IVF build: %s", e)
+            if self.mesh is not None and ivf["nlist"] % self.ndev:
+                # a cached build from a different mesh size: rebuild so shard
+                # boundaries fall on cluster boundaries
+                ivf = ivf_mod.build_ivf(emb, self.ivf_nlist,
+                                        multiple_of=self.ndev)
             dbp = ivf_mod.permute_db(
                 emb, ivf, np.dtype("bfloat16") if self.dtype == jnp.bfloat16
                 else np.float32)
             perm = ivf["perm"]
             lp = np.full(len(perm), 1e9, np.float32)
             lp[perm >= 0] = lengths[perm[perm >= 0]]
-            self._demb = jax.device_put(dbp)
-            self._dlen = jax.device_put(lp)
-            self._ivf = {"centroids": jax.device_put(ivf["centroids"]),
-                         "perm": jax.device_put(perm)}
+            if self.mesh is not None:
+                axis = self.mesh.axis_names[0]
+                row_sh = NamedSharding(self.mesh, P(axis, None))
+                one_sh = NamedSharding(self.mesh, P(axis))
+                self._demb = jax.device_put(dbp, row_sh)
+                self._dlen = jax.device_put(lp, one_sh)
+                self._ivf = {"centroids": jax.device_put(ivf["centroids"]),
+                             "perm": jax.device_put(perm, one_sh)}
+            else:
+                self._demb = jax.device_put(dbp)
+                self._dlen = jax.device_put(lp)
+                self._ivf = {"centroids": jax.device_put(ivf["centroids"]),
+                             "perm": jax.device_put(perm)}
             self.ivf_nlist = int(ivf["centroids"].shape[0])  # build may clamp
             self._n_valid = emb.shape[0]
             self._chunk_eff = self.chunk
@@ -259,7 +276,21 @@ class SearchEngine:
         if self.mode == "device":
             self._load_resident()
             chunk = self._chunk_eff
-            if self.mesh is not None:
+            if self._ivf is not None and self.mesh is not None:
+                from . import ivf as ivf_mod
+
+                nprobe = min(self.ivf_nprobe, self.ivf_nlist)
+                interp = jax.default_backend() != "tpu"
+                key = ("ivf", k_eff, nprobe, use_len, float(mincov), interp)
+                if key not in self._mesh_fns:
+                    self._mesh_fns[key] = ivf_mod.build_mesh_ivf_search(
+                        self.mesh, k_eff, nprobe, use_len, float(mincov),
+                        interpret=interp)
+                vals, idxs = self._mesh_fns[key](
+                    jnp.asarray(q).astype(self.dtype), self._demb,
+                    self._ivf["centroids"], self._dlen, self._ivf["perm"],
+                    jnp.asarray(qlen))
+            elif self.mesh is not None:
                 quant = self.quantized and self._fused
                 key = (k_eff, chunk, float(mincov), use_len, self._fused, quant)
                 if key not in self._mesh_fns:
@@ -398,16 +429,29 @@ class SearchEngine:
             off, nb, blk, tl, rs = item
             if self.mesh is not None:
                 kk = min(k, nb)
-                key = ("stream", kk, use_len, fused, float(mincov))
+                key = ("stream", kk, use_len, fused, quant, float(mincov))
                 if key not in self._mesh_fns:
                     self._mesh_fns[key] = build_mesh_search(
                         self.mesh, kk, chunk, float(mincov), use_len,
-                        self.selection, self.recall_target, fused=fused)
+                        self.selection, self.recall_target, fused=fused,
+                        quantized=quant)
                 dtl = jax.device_put(tl, len_sh)
-                vals, idxs = self._mesh_fns[key](
-                    dq_cast, jax.device_put(blk, row_sh), dtl,
-                    jnp.asarray([nb], jnp.int32), dqlen,
-                    dtl)  # dummy scale shard (int8+mesh streaming unsupported)
+                if quant:
+                    # int8 superblock: rows + per-row scales sharded together;
+                    # queries quantised once, per-query scale applied after
+                    if dq8 is None:
+                        q8_np, qs_np = pallas_scan.quantize_rows(np.asarray(q))
+                        dq8, dqs = jnp.asarray(q8_np), jnp.asarray(qs_np)
+                    vals, idxs = self._mesh_fns[key](
+                        dq8, jax.device_put(blk, row_sh), dtl,
+                        jnp.asarray([nb], jnp.int32), dqlen,
+                        jax.device_put(rs, len_sh))
+                    vals = vals * dqs[:, None]
+                else:
+                    vals, idxs = self._mesh_fns[key](
+                        dq_cast, jax.device_put(blk, row_sh), dtl,
+                        jnp.asarray([nb], jnp.int32), dqlen,
+                        dtl)  # dummy scale shard on the non-quantised path
             elif quant:
                 if dq8 is None:
                     q8_np, qs_np = pallas_scan.quantize_rows(np.asarray(q))

@@ -65,8 +65,12 @@ def _pref_scores(rows, cent, npref):
 
 
 def build_ivf(emb: np.ndarray, nlist: int, iters: int = 10,
-              train_sample: int = 1 << 18, seed: int = 0) -> dict:
+              train_sample: int = 1 << 18, seed: int = 0,
+              multiple_of: int = 1) -> dict:
     """Build a balanced IVF over normalised embeddings [N, D].
+
+    multiple_of: force nlist to a multiple (mesh sharding needs nlist % ndev
+    == 0 so shard boundaries fall on cluster boundaries).
 
     Returns {"centroids" [nlist,D] f32, "perm" [Npad] i64 (permuted row ->
     original row, -1 for padding), "cluster_rows" C, "nlist"}.
@@ -80,6 +84,8 @@ def build_ivf(emb: np.ndarray, nlist: int, iters: int = 10,
         logger.warning("IVF nlist %d too large for %d rows; using %d",
                        nlist, n, cap)
         nlist = cap
+    if multiple_of > 1:
+        nlist = max(multiple_of, (nlist // multiple_of) * multiple_of)
     # cluster size: equal, block-aligned
     c_rows = -(-n // nlist)
     c_rows = -(-c_rows // BLOCK) * BLOCK
@@ -167,32 +173,37 @@ def permute_db(emb: np.ndarray, ivf: dict, dtype=np.float32) -> np.ndarray:
     return out
 
 
-@partial(jax.jit, static_argnames=("k", "nprobe", "use_len", "interpret"))
-def ivf_search(q, db_perm, centroids, perm, k, nprobe, tlen=None, qlen=None,
-               mincov=0.0, use_len=False, interpret=False):
-    """Approximate top-k: probe nprobe clusters, exact top-k of the probed.
+def _probe_blocks(q, centroids, nprobe, bpc, nlist_local=None, me=None):
+    """Top-nprobe clusters per query -> gather block ids ([-1] = skip).
 
-    q [Q,D] (db_perm's dtype), db_perm [Npad,D] cluster-contiguous,
-    centroids [nlist,D] f32, perm [Npad] i64, tlen [Npad] f32 target lengths
-    in PERMUTED order (mincov filter, same semantics as the flat scan).
-    Returns (scores [Q,k] f32, ORIGINAL indices [Q,k] i32, -1 for misses).
+    With nlist_local/me set, cluster ids are remapped to a mesh shard's local
+    cluster range and non-local probes become -1 (the gather kernel's padding
+    sentinel) — every device sees the same global probe set and fetches only
+    the probed clusters it owns.
     """
     qn = q.shape[0]
-    nlist = centroids.shape[0]
-    c_rows = db_perm.shape[0] // nlist
-    bpc = c_rows // BLOCK                                # blocks per cluster
-
     cs = jnp.dot(q.astype(jnp.float32), centroids.T,
                  preferred_element_type=jnp.float32)     # [Q, nlist]
-    _, probe = jax.lax.top_k(cs, nprobe)                 # [Q, nprobe]
+    _, probe = jax.lax.top_k(cs, nprobe)                 # [Q, nprobe] global
+    if nlist_local is not None:
+        lp = probe - me * nlist_local
+        probe = jnp.where((lp >= 0) & (lp < nlist_local), lp, -1)
+    bidx = jnp.where(
+        probe[:, :, None] >= 0,
+        probe[:, :, None] * bpc + jnp.arange(bpc)[None, None, :],
+        -1).reshape(qn, probe.shape[1] * bpc)
+    kbp = -(-bidx.shape[1] // ps.GATHER_G) * ps.GATHER_G
+    return jnp.pad(bidx, ((0, 0), (0, kbp - bidx.shape[1])),
+                   constant_values=-1)
 
-    # probed clusters -> 128-row block ids, padded to the gather group size
-    bidx = (probe[:, :, None] * bpc
-            + jnp.arange(bpc)[None, None, :]).reshape(qn, nprobe * bpc)
-    kb = bidx.shape[1]
-    kbp = -(-kb // ps.GATHER_G) * ps.GATHER_G
-    bidx = jnp.pad(bidx, ((0, 0), (0, kbp - kb)), constant_values=-1)
 
+def _probe_and_select(q, db_perm, perm, bidx, k, tlen, qlen, mincov, use_len,
+                      interpret):
+    """Gather the probed blocks, exact top-k of the probed candidates.
+
+    Returns (scores [Q,k] f32, ORIGINAL row indices [Q,k] i32, -1 misses).
+    """
+    qn = q.shape[0]
     sub = 16 if q.dtype == jnp.bfloat16 else (32 if q.dtype == jnp.int8 else 8)
     qp = -(-qn // sub) * sub
     if qp != qn:
@@ -205,6 +216,7 @@ def ivf_search(q, db_perm, centroids, perm, k, nprobe, tlen=None, qlen=None,
     # dynamic gather (measured ~10 ms); only the final [Q,k] winners are
     # mapped back through perm.
     nb = db_perm.shape[0] // BLOCK
+    kbp = bidx.shape[1]
     pad_inf = jnp.where(perm >= 0, 0.0, jnp.float32(np.inf))
     if use_len:
         tl2d = (tlen * jnp.float32(mincov) + pad_inf).reshape(nb, BLOCK)
@@ -222,3 +234,62 @@ def ivf_search(q, db_perm, centroids, perm, k, nprobe, tlen=None, qlen=None,
     idx = perm[jnp.clip(pidx, 0, len(perm) - 1)].astype(jnp.int32)
     idx = jnp.where(jnp.isfinite(v) & (pidx >= 0), idx, -1)
     return v[:qn], idx[:qn]
+
+
+def build_mesh_ivf_search(mesh, k: int, nprobe: int, use_len: bool,
+                          mincov: float, interpret: bool = False):
+    """Mesh-sharded IVF: clusters sharded over the mesh axis.
+
+    Each device holds nlist/ndev contiguous clusters of the permuted DB.
+    Every device computes the same global top-nprobe probe set from the
+    replicated centroids, gathers only the probed clusters it owns (others
+    are -1-masked), takes its local exact top-k, and the per-shard partials
+    are all-gather-merged over ICI — identical results to single-device
+    ivf_search with the same centroids/perm.
+    """
+    import jax.experimental.shard_map as _sm
+    from jax.sharding import PartitionSpec as P
+    from ..ops import topk as topk_ops
+
+    axis = mesh.axis_names[0]
+
+    def local_fn(q, db_shard, centroids, tl_shard, perm_shard, qlen):
+        nd = jax.lax.axis_size(axis)
+        me = jax.lax.axis_index(axis)
+        nlist = centroids.shape[0]
+        nlist_local = nlist // nd
+        c_rows = db_shard.shape[0] // nlist_local
+        bpc = c_rows // BLOCK
+        bidx = _probe_blocks(q, centroids, nprobe, bpc,
+                             nlist_local=nlist_local, me=me)
+        v, idx = _probe_and_select(q, db_shard, perm_shard, bidx, k,
+                                   tl_shard, qlen, mincov, use_len, interpret)
+        av = jax.lax.all_gather(v, axis)
+        ai = jax.lax.all_gather(idx, axis)
+        return topk_ops.merge_partials(av, ai, k)
+
+    fn = _sm.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(None, None), P(axis, None), P(None, None), P(axis),
+                  P(axis), P(None)),
+        out_specs=(P(None, None), P(None, None)),
+        check_rep=False,
+    )
+    return jax.jit(fn)
+
+
+@partial(jax.jit, static_argnames=("k", "nprobe", "use_len", "interpret"))
+def ivf_search(q, db_perm, centroids, perm, k, nprobe, tlen=None, qlen=None,
+               mincov=0.0, use_len=False, interpret=False):
+    """Approximate top-k: probe nprobe clusters, exact top-k of the probed.
+
+    q [Q,D] (db_perm's dtype), db_perm [Npad,D] cluster-contiguous,
+    centroids [nlist,D] f32, perm [Npad] i64, tlen [Npad] f32 target lengths
+    in PERMUTED order (mincov filter, same semantics as the flat scan).
+    Returns (scores [Q,k] f32, ORIGINAL indices [Q,k] i32, -1 for misses).
+    """
+    nlist = centroids.shape[0]
+    c_rows = db_perm.shape[0] // nlist
+    bidx = _probe_blocks(q, centroids, nprobe, c_rows // BLOCK)
+    return _probe_and_select(q, db_perm, perm, bidx, k, tlen, qlen, mincov,
+                             use_len, interpret)

@@ -90,3 +90,59 @@ def test_engine_ivf_mode(tmp_path, rng, mixture):
     ref = np.argsort(-(q @ emb.T), axis=1)[:, :5]
     rec = np.mean([len(set(idxs[r]) & set(ref[r])) / 5 for r in range(len(q))])
     assert rec > 0.9
+
+
+def test_mesh_ivf_matches_single_device(mixture):
+    """Mesh-sharded IVF must return identical results to single-device
+    ivf_search with the same build (same probe set, exact top-k of probed)."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from merizo_search_tpu.search.ivf import build_mesh_ivf_search
+
+    emb, q = mixture
+    K, NPROBE = 10, 8
+    ivf = build_ivf(emb, nlist=64, seed=1, multiple_of=4)
+    assert ivf["nlist"] % 4 == 0
+    dbp = permute_db(emb, ivf)
+    perm = ivf["perm"]
+    v1, i1 = ivf_search(jnp.asarray(q), jnp.asarray(dbp),
+                        jnp.asarray(ivf["centroids"]), jnp.asarray(perm),
+                        K, NPROBE, interpret=True)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("d",))
+    fn = build_mesh_ivf_search(mesh, K, NPROBE, use_len=False, mincov=0.0,
+                               interpret=True)
+    tl = jnp.zeros(len(perm), jnp.float32)
+    vm, im = fn(jnp.asarray(q),
+                jax.device_put(dbp, NamedSharding(mesh, P("d", None))),
+                jnp.asarray(ivf["centroids"]),
+                jax.device_put(tl, NamedSharding(mesh, P("d"))),
+                jax.device_put(perm, NamedSharding(mesh, P("d"))),
+                jnp.zeros(len(q), jnp.float32))
+    np.testing.assert_allclose(np.asarray(vm), np.asarray(v1), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(im), np.asarray(i1))
+
+
+def test_engine_mesh_ivf(tmp_path, mixture):
+    """SearchEngine with index='ivf' and a mesh: same hits as single-device
+    IVF engine."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from merizo_search_tpu.db import codecs
+    from merizo_search_tpu.search.engine import SearchEngine
+
+    emb, q = mixture
+    entries = [(f"d{i:05d}", np.zeros((10, 3), np.float32), "A" * 10)
+               for i in range(len(emb))]
+    prefix = str(tmp_path / "ivfdb")
+    codecs.write_pt_db(prefix, emb, entries)
+    db = codecs.FlatDB.open(prefix)
+
+    e1 = SearchEngine(db, index="ivf", ivf_nlist=64, ivf_nprobe=8)
+    v1, i1 = e1.search(q, k=10)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("d",))
+    em = SearchEngine(db, mesh=mesh, index="ivf", ivf_nlist=64, ivf_nprobe=8)
+    vm, im = em.search(q, k=10)
+    np.testing.assert_allclose(vm, v1, atol=1e-5)
+    np.testing.assert_array_equal(im, i1)

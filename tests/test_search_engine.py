@@ -189,3 +189,54 @@ def test_chunk_not_multiple_of_block(tmp_path, rng):
     vals, idxs = eng.search(q, k=3)
     bv, bi = _brute_force(q, embs, 3)
     _assert_topk_close(vals, idxs, bv, bi)
+
+
+def test_int8_mesh_stream_engine(tmp_path, rng):
+    """int8 + mesh + streaming (the TED production config) must be accepted
+    and produce brute-force-close results (off-TPU it runs the dequantised
+    f32 fallback; the quantised mesh kernel itself is covered below)."""
+    prefix, embs, _ = _make_db(tmp_path, rng, n=800, kind="mmap")
+    db = codecs.FlatDB.open(prefix)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("d",))
+    eng = SearchEngine(db, mesh=mesh, chunk=32, dtype=jnp.int8,
+                       max_device_gb=1e-9)
+    assert eng.mode == "stream" and eng.quantized
+    q = rng.normal(size=(3, 128)).astype(np.float32)
+    vals, idxs = eng.search(q, k=9)
+    bv, bi = _brute_force(q, embs, 9)
+    _assert_topk_close(vals, idxs, bv, bi, atol=0.01)
+
+
+def test_int8_quantized_mesh_kernel_exact(rng):
+    """The quantised fused kernel on a CPU mesh (interpret mode): exact top-k
+    of the quantised scores, per-shard scan + ICI merge."""
+    from merizo_search_tpu.search.engine import build_mesh_search
+    from merizo_search_tpu.ops.pallas_scan import quantize_rows
+
+    n, dim, k = 4 * 256, 128, 7
+    embs = rng.normal(size=(n, dim)).astype(np.float32)
+    embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+    q = rng.normal(size=(2, dim)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    db8, rs = quantize_rows(embs)
+    q8, qs = quantize_rows(q)
+
+    mesh = Mesh(np.array(jax.devices()[:4]), ("d",))
+    fn = build_mesh_search(mesh, k=k, chunk=64, mincov=0.0, use_lengths=False,
+                           fused=True, fused_tile=256, interpret=True,
+                           quantized=True)
+    lengths = jnp.zeros(n, jnp.float32)
+    vals, idxs = fn(jnp.asarray(q8), jnp.asarray(db8), lengths,
+                    jnp.asarray([n], jnp.int32),
+                    jnp.zeros(2, jnp.float32), jnp.asarray(rs))
+    vals = np.asarray(vals) * qs[:, None]
+    # brute force on the dequantised int8 values (exact contract)
+    deq = db8.astype(np.float32) * rs[:, None]
+    qd = q8.astype(np.float32) * qs[:, None]
+    s = qd @ deq.T
+    bi = np.argsort(-s, axis=1, kind="stable")[:, :k]
+    bv = np.take_along_axis(s, bi, axis=1)
+    np.testing.assert_allclose(vals, bv, rtol=1e-5, atol=1e-6)
+    for qi in range(2):
+        must = set(bi[qi][bv[qi] > bv[qi, -1] + 1e-5].tolist())
+        assert must <= set(int(x) for x in np.asarray(idxs)[qi])
