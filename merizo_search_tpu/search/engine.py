@@ -32,6 +32,15 @@ try:
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
+def _shard_map_unchecked(f, **kw):
+    """shard_map with replication/varying-axis checking off, across jax versions
+    (check_vma in >=0.8, check_rep before)."""
+    try:
+        return shard_map(f, check_vma=False, **kw)
+    except TypeError:  # pragma: no cover - older jax
+        return shard_map(f, check_rep=False, **kw)
+
+
 from ..db.codecs import FlatDB
 from ..ops import topk as topk_ops
 from ..ops import pallas_scan
@@ -82,12 +91,11 @@ def build_mesh_search(mesh: Mesh, k: int, chunk: int, mincov: float, use_lengths
         ai = jax.lax.all_gather(idxs, axis)
         return topk_ops.merge_partials(av, ai, k)
 
-    fn = shard_map(
+    fn = _shard_map_unchecked(
         local_fn, mesh=mesh,
         in_specs=(P(None, None), P(axis, None), P(axis), P(None), P(None),
                   P(axis)),
         out_specs=(P(None, None), P(None, None)),
-        check_rep=False,
     )
     return jax.jit(fn)
 

@@ -247,7 +247,7 @@ def build_mesh_ivf_search(mesh, k: int, nprobe: int, use_len: bool,
     are all-gather-merged over ICI — identical results to single-device
     ivf_search with the same centroids/perm.
     """
-    import jax.experimental.shard_map as _sm
+    from .engine import _shard_map_unchecked
     from jax.sharding import PartitionSpec as P
     from ..ops import topk as topk_ops
 
@@ -268,12 +268,11 @@ def build_mesh_ivf_search(mesh, k: int, nprobe: int, use_len: bool,
         ai = jax.lax.all_gather(idx, axis)
         return topk_ops.merge_partials(av, ai, k)
 
-    fn = _sm.shard_map(
+    fn = _shard_map_unchecked(
         local_fn, mesh=mesh,
         in_specs=(P(None, None), P(axis, None), P(None, None), P(axis),
                   P(axis), P(None)),
         out_specs=(P(None, None), P(None, None)),
-        check_rep=False,
     )
     return jax.jit(fn)
 
