@@ -51,6 +51,14 @@ def _finish(label: str, t0: float):
     logger.info("Finished %s in %.3f seconds.", label, time.time() - t0)
 
 
+def _ensure_parent(path: str):
+    """Create the parent directory of an output prefix if missing, so
+    `merizo-tpu search q.pdb db out/results` works without a prior mkdir."""
+    parent = os.path.dirname(os.path.abspath(path))
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+
+
 def _add_search_flags(p: argparse.ArgumentParser):
     p.add_argument("-d", "--device", type=str, default=None,
                    help="JAX platform override (e.g. 'cpu', 'tpu'). Default: auto.")
@@ -239,6 +247,7 @@ def createdb(argv):
     _add_trace_flag(p)
     args = p.parse_args(argv)
     _apply_device(args.device)
+    _ensure_parent(args.out_db)
 
     from .pipeline.createdb import run_createdb
     from .utils import profiling
@@ -312,6 +321,7 @@ def search(argv):
     args = p.parse_args(argv)
     _fix_positional_tail(args)
     _apply_device(args.device)
+    _ensure_parent(args.output)
     from .utils import profiling
     t0 = time.time()
     with profiling.trace(args.trace):
@@ -339,6 +349,7 @@ def easy_search(argv):
     args = p.parse_args(argv)
     _fix_positional_tail(args)
     _apply_device(args.device)
+    _ensure_parent(args.output)
 
     from .models.merizo.network import load_merizo_params
     from .segment.outputs import run_merizo
