@@ -83,7 +83,13 @@ def _add_search_flags(p: argparse.ArgumentParser):
     p.add_argument("--output_headers", action="store_true", default=False)
     p.add_argument("--multi_domain_search", action="store_true", default=False)
     p.add_argument("--multi_domain_mode", type=str, default="exhaustive_tmalign",
-                   choices=["exhaustive_tmalign"])
+                   choices=["exhaustive_tmalign", "embscore"],
+                   help="'exhaustive_tmalign' scores domain pairs with the "
+                        "batched aligner; 'embscore' uses embedding cosine "
+                        "similarity read straight off the database (no "
+                        "alignment — the fast path at TED scale; the "
+                        "reference declares this mode but does not "
+                        "implement it).")
     p.add_argument("--skip_tmalign", action="store_true", default=False,
                    help="Skip TM rescoring (embedding scores only).")
     p.add_argument("--tmalign_backend", type=str, default="auto",
@@ -294,7 +300,7 @@ def _do_search(args, inputs, inputs_are_ca, pdb_chain, fields_default):
         fl = multi_domain_search(
             inputs, results, args.db_name, fastmode=args.fastmode,
             mintm=args.mintm, inputs_from_easy_search=inputs_are_ca,
-            mode=args.multi_domain_mode,
+            mode=args.multi_domain_mode, weights=args.weights,
             tmalign_backend=args.tmalign_backend, threads=max(args.threads, 0))
         if fl is not None:
             write_all_dom_search_results(fl, args.output + "_search_multi_dom.tsv",

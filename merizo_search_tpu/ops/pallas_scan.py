@@ -40,32 +40,72 @@ DEFAULT_TILE = 16384  # DB rows per grid step: bf16 tile = 4 MB VMEM
 NEG_INF = jnp.float32(-jnp.inf)
 
 
+QTILE = 128  # queries per inner kernel step (fills the MXU's 128 output lanes)
+
+
+def _compiler_params(vmem_bytes: int | None):
+    try:
+        return pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes)
+    except (AttributeError, TypeError):  # pragma: no cover - older jax
+        return pltpu.TPUCompilerParams(vmem_limit_bytes=vmem_bytes)
+
+
 def _bm_kernel(nv_ref, q_ref, db_ref, tlen_ref, qcap_ref, *rest, tile,
-               use_len, quantized):
-    """One grid step: scores for a [tile, D] DB slab -> block maxima."""
+               use_len, quantized, qt, nsteps):
+    """One grid step: scores of ALL query tiles vs one [tile, D] DB slab ->
+    block maxima. Two performance-critical layout choices:
+
+    - The query loop lives *inside* the kernel (queries are a few hundred KB
+      and sit whole in VMEM), so the score block stays small for any batch
+      size and the DB streams from HBM exactly once.
+    - Scores are computed TRANSPOSED, s_t = db_tile @ q_tile^T [tile, qt]:
+      DB rows land on sublanes, so the per-128-row block max is a tree of
+      full-vreg maxes over the sublane axis (~1.3 passes over the scores)
+      instead of a 7-step cross-lane shuffle reduction (~7 passes) — the
+      VPU reduction, not the MXU matmul, is the kernel's critical path.
+      qt=128 also fills all MXU output lanes.
+    """
     if quantized:
         rs_ref, bm_ref = rest
-        s = jax.lax.dot_general(
-            q_ref[:], db_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)            # int8 MXU path
-        s = s.astype(jnp.float32) * rs_ref[:]            # per-row dequant
     else:
         (bm_ref,) = rest
-        s = jax.lax.dot_general(
-            q_ref[:], db_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [Qp, tile]
-    ci = jax.lax.broadcasted_iota(jnp.int32, (1, tile), 1)
-    gi = pl.program_id(0) * tile + ci
-    mask = gi < nv_ref[0]                                # [1, tile]
-    if use_len:
-        # tlen_ref holds tlen*mincov and qcap_ref holds qlen, so this is
-        # exactly the reference's keep-iff qlen >= tlen*mincov
-        mask = jnp.logical_and(mask, tlen_ref[:] <= qcap_ref[:, 0:1])
-    s = jnp.where(mask, s, float("-inf"))
-    bm = jnp.max(s.reshape(s.shape[0], tile // BLOCK, BLOCK), axis=-1)
-    bm_ref[:] = bm.reshape(bm_ref.shape)
+    nbt = tile // BLOCK
+    step = pl.program_id(0)
+    # row r of this tile = block a, offset b (r = a*BLOCK + b); sidecars
+    # (tlen, scales) arrive pre-shaped [*, BLOCK] lane-major — a [tile, 1]
+    # layout would tile to (8,128) vregs and DMA ~128x padding
+    ai = jax.lax.broadcasted_iota(jnp.int32, (nbt, BLOCK, 1), 0)
+    bi = jax.lax.broadcasted_iota(jnp.int32, (nbt, BLOCK, 1), 1)
+    row_valid = step * tile + ai * BLOCK + bi < nv_ref[0]  # [nbt, BLOCK, 1]
+    nqt = q_ref.shape[0] // qt
+    for j in range(nqt):                                 # static unroll
+        qtile = q_ref[j * qt:(j + 1) * qt, :]
+        if quantized:
+            s = jax.lax.dot_general(
+                db_ref[:], qtile,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)        # int8 MXU path
+            s = (s.astype(jnp.float32).reshape(nbt, BLOCK, qt)
+                 * rs_ref[:].reshape(nbt, BLOCK, 1))     # per-row dequant
+        else:
+            s = jax.lax.dot_general(
+                db_ref[:], qtile,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [tile, qt]
+            s = s.reshape(nbt, BLOCK, qt)
+        if use_len:
+            # tlen_ref holds tlen*mincov and qcap_ref holds qlen, so this is
+            # exactly the reference's keep-iff qlen >= tlen*mincov
+            mask = (tlen_ref[:].reshape(nbt, BLOCK, 1)
+                    <= qcap_ref[0:1, j * qt:(j + 1) * qt].reshape(1, 1, qt))
+            s = jnp.where(mask, s, float("-inf"))
+
+        # NOTE: row-validity is masked unconditionally — a pl.when branch to
+        # skip it on full tiles breaks Mosaic's software pipeline and costs
+        # 4x; the extra where-pass costs ~5%.
+        s = jnp.where(row_valid, s, float("-inf"))
+        bmt = jnp.max(s, axis=1)                         # [nbt, qt]
+        bm_ref[j * qt:(j + 1) * qt, :] = bmt.T           # [qt, nbt]
 
 
 @partial(jax.jit, static_argnames=("tile", "use_len", "interpret"))
@@ -75,48 +115,46 @@ def blockmax_scan(q, db, n_valid, tlen, qcap, tile=DEFAULT_TILE,
     tlen [Npad] f32 target lengths, qcap [Qp] f32 = qlen/mincov.
     scales [Npad] f32: per-row dequantisation scales for int8 DBs.
     Returns BM [Qp, Npad/BLOCK] f32 block maxima (masked entries -inf)."""
-    qp, d = q.shape
+    qn, d = q.shape
     npad = db.shape[0]
-    grid = npad // tile
     quantized = scales is not None
+    # pad queries to a whole number of query tiles (qt=128 fills the MXU's
+    # output lanes; smaller batches use one sublane-aligned tile)
+    qt = min(-(-qn // 8) * 8, QTILE)
+    qp = -(-qn // qt) * qt
+    if qp != qn:
+        q = jnp.pad(q, ((0, qp - qn), (0, 0)))
+        qcap = jnp.pad(qcap, (0, qp - qn))
+    nsteps = npad // tile
     kernel = partial(_bm_kernel, tile=tile, use_len=use_len,
-                     quantized=quantized)
+                     quantized=quantized, qt=qt, nsteps=nsteps)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),                    # n_valid [1]
         pl.BlockSpec((qp, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((tile, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, tile), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((qp, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile // BLOCK, BLOCK), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, qp), lambda i: (0, 0), memory_space=pltpu.VMEM),
     ]
     args = [jnp.asarray([n_valid], jnp.int32), q, db,
-            tlen.reshape(1, npad), qcap.reshape(qp, 1)]
+            tlen.reshape(npad // BLOCK, BLOCK), qcap.reshape(1, qp)]
     if quantized:
-        in_specs.append(pl.BlockSpec((1, tile), lambda i: (0, i),
+        in_specs.append(pl.BlockSpec((tile // BLOCK, BLOCK), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM))
-        args.append(scales.reshape(1, npad))
-    if (tile // BLOCK) % 128 == 0:
-        # production tile: each step's [Qp, tile/BLOCK] slab is lane-aligned,
-        # so BM is written directly in its final [Qp, NB] layout
-        out_specs = pl.BlockSpec((qp, tile // BLOCK), lambda i: (0, i),
-                                 memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((qp, npad // BLOCK), jnp.float32)
-        post = lambda bm: bm
-    else:
-        # small tiles (tests, fp32 recall checks): write [step, Qp, tile/BLOCK]
-        # so trailing block dims stay aligned, then transpose (a few MB)
-        out_specs = pl.BlockSpec((1, qp, tile // BLOCK), lambda i: (i, 0, 0),
-                                 memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((grid, qp, tile // BLOCK), jnp.float32)
-        post = lambda bm: bm.transpose(1, 0, 2).reshape(qp, npad // BLOCK)
+        args.append(scales.reshape(npad // BLOCK, BLOCK))
     bm = pl.pallas_call(
         kernel,
-        grid=(grid,),
+        grid=(nsteps,),
         in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
+        out_specs=pl.BlockSpec((qp, tile // BLOCK), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((qp, npad // BLOCK), jnp.float32),
+        # [tile, qt] f32 scores + double-buffered db tiles exceed the default
+        # 16 MB scoped-vmem budget at the production tile size
+        compiler_params=_compiler_params(100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
-    return post(bm)
+    return bm[:qn] if qp != qn else bm
 
 
 def quantize_rows(x: np.ndarray):

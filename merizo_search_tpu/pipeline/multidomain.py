@@ -99,18 +99,48 @@ def _submatrix_to_hits(mtx: np.ndarray, qc: str, hc: str, qds: list[str], hds: l
     return result
 
 
+def _embscore_matrix(q_structs: list[dict], db_idxs: list[int],
+                     db: FlatDB, weights: str | None) -> np.ndarray:
+    """Query-domain x candidate-domain cosine-similarity matrix.
+
+    Queries are embedded once (batched Foldclass forward); candidate
+    embeddings are read straight from the database rows, so no candidate is
+    ever re-embedded or aligned."""
+    from .embed import embed_structures, load_foldclass_params
+
+    params = load_foldclass_params(weights)
+    q_emb = embed_structures(params, [np.asarray(q["coords"], np.float32)
+                                      for q in q_structs])
+    q_emb /= np.maximum(np.linalg.norm(q_emb, axis=1, keepdims=True), 1e-12)
+    t_emb = np.asarray(db.embeddings()[np.asarray(db_idxs)], np.float32)
+    t_emb /= np.maximum(np.linalg.norm(t_emb, axis=1, keepdims=True), 1e-12)
+    return q_emb @ t_emb.T
+
+
 def multi_domain_search(queries, search_results, db_name: str,
                         fastmode: bool = False, mintm: float = 0.5,
                         inputs_from_easy_search: bool = False,
                         mode: str = "exhaustive_tmalign",
                         pdb_chain: str | None = None,
-                        tmalign_backend: str = "auto", threads: int = 0):
+                        tmalign_backend: str = "auto", threads: int = 0,
+                        weights: str | None = None):
     """Full-length multi-domain architecture matching.
 
     queries: list of PDB paths (search mode) or of per-domain dicts from the
     segment stage (easy-search). Returns list of result tuples or None.
+
+    mode:
+    - "exhaustive_tmalign": pair scores are TM-scores (batched aligner);
+      parity with the reference's only working mode.
+    - "embscore": pair scores are embedding cosine similarities — the mode
+      the reference declares but leaves unimplemented
+      (dbsearch_fulllength.py:558-571 returns an error). Candidate-domain
+      embeddings come straight off the database (no re-embedding, no
+      alignment), so chain-level MDA matching costs one query-embed plus a
+      few dot products — the scalable path at TED scale. Pair threshold is
+      `mintm` applied to cosine (same 0..1 range, default 0.5).
     """
-    if mode != "exhaustive_tmalign":
+    if mode not in ("exhaustive_tmalign", "embscore"):
         raise ValueError(f"Unrecognised multi-domain search mode: {mode}")
     nq = len(queries)
     if nq == 1:
@@ -182,13 +212,20 @@ def multi_domain_search(queries, search_results, db_name: str,
 
         qds = list(hit_index[qc].keys())
         q_structs = [qd_info[qd] for qd in qds]
-        logger.info("Query chain %s: TM-align %d x %d domain pairs (batched)...",
-                    qc, len(qds), len(entries))
-        pairs = [(q, {"coords": e["coords"], "seq": e["seq"]})
-                 for q in q_structs for e in entries]
-        tms = rescore_pairs(pairs, fast=fastmode, backend=tmalign_backend,
-                            nthreads=max(threads, 0))
-        mtx = np.asarray([max(t["qtm"], t["ttm"]) for t in tms]).reshape(len(qds), len(entries))
+        if mode == "embscore":
+            logger.info("Query chain %s: embedding-score %d x %d domain pairs...",
+                        qc, len(qds), len(entries))
+            mtx = _embscore_matrix(q_structs, [e["hi"] for e in entries],
+                                   db, weights)
+        else:
+            logger.info("Query chain %s: TM-align %d x %d domain pairs (batched)...",
+                        qc, len(qds), len(entries))
+            pairs = [(q, {"coords": e["coords"], "seq": e["seq"]})
+                     for q in q_structs for e in entries]
+            tms = rescore_pairs(pairs, fast=fastmode, backend=tmalign_backend,
+                                nthreads=max(threads, 0))
+            mtx = np.asarray([max(t["qtm"], t["ttm"]) for t in tms]).reshape(
+                len(qds), len(entries))
         mtx[mtx < mintm] = 0.0
 
         hc_per_hd = np.asarray([domid2chainid(e["hd"]) for e in entries])

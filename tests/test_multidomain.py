@@ -102,3 +102,42 @@ def test_multidomain_end_to_end(chain_db):
     # chainY (2 domains) matches exactly: category 3
     assert 2 in by_chain.get("chainX", [])
     assert 3 in by_chain.get("chainY", [])
+
+
+def test_multidomain_embscore_mode(chain_db):
+    """embscore mode: pair scores come from embedding cosine, no aligner.
+    The DB embeddings are produced by the same (deterministic random-init)
+    Foldclass params used for query embedding, so identical coordinates give
+    cosine ~1.0 and the known MDA structure must be recovered."""
+    from merizo_search_tpu.pipeline.embed import (embed_structures,
+                                                  load_foldclass_params)
+
+    prefix, names, coords = chain_db
+    params = load_foldclass_params(None)
+    embs = embed_structures(params, [np.asarray(c, np.float32) for c in coords])
+    entries = [(n, c, "A" * len(c)) for n, c in zip(names, coords)]
+    codecs.write_pt_db(prefix, embs.astype(np.float32), entries)
+
+    queries = [
+        {"name": "myq_merizo_01", "coords": coords[0], "seq": "A" * 70},
+        {"name": "myq_merizo_02", "coords": coords[1], "seq": "A" * 70},
+    ]
+    search_results = [
+        {0: {"query": "myq_merizo_01", "target": "chainX_01", "dbindex": 0},
+         1: {"query": "myq_merizo_01", "target": "chainY_01", "dbindex": 3}},
+        {0: {"query": "myq_merizo_02", "target": "chainX_02", "dbindex": 1}},
+    ]
+    res = md.multi_domain_search(queries, search_results, prefix,
+                                 inputs_from_easy_search=True, mintm=0.999,
+                                 mode="embscore")
+    assert res, "expected multi-domain hits from embscore mode"
+    by_chain = {}
+    for qc, nqd, hc, nhd, cat, info, meta in res:
+        assert qc == "myq" and nqd == 2
+        by_chain.setdefault(hc, []).append(cat)
+    assert 2 in by_chain.get("chainX", [])
+    assert 3 in by_chain.get("chainY", [])
+    # scores recorded in match_info are cosines ~1.0 for identical folds
+    top = [r for r in res if r[2] == "chainY"][0]
+    for field in top[5].split(","):
+        assert float(field.split(":")[2]) > 0.999
