@@ -423,9 +423,73 @@ def serve(argv):
 
 
 USAGE = """Usage: python -m merizo_search_tpu.cli <mode> <args>
-    <mode> is one of: 'segment', 'createdb', 'search', 'easy-search', or 'serve'.
+    <mode> is one of: 'segment', 'createdb', 'search', 'easy-search',
+    'serve', or 'dbinfo'.
     Detailed help: python -m merizo_search_tpu.cli <mode> --help
 """
+
+
+def dbinfo(argv):
+    """Inspect / verify a Foldclass database (parity: the reference's
+    standalone dbutil.py harness, dbutil.py:148-205, which prints name/seq
+    per id as a manual consistency check of the mmap layout)."""
+    p = argparse.ArgumentParser(
+        prog="merizo_tpu dbinfo",
+        description="Print database layout info and spot-check entries.",
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument("db_name", type=str)
+    p.add_argument("--ids", type=str, default=None,
+                   help="Comma-separated entry ids to print (name, seq len, "
+                        "coord shape, metadata).")
+    p.add_argument("--verify", action="store_true", default=False,
+                   help="Consistency-check every entry: seq/coord lengths "
+                        "match, names decode, embeddings finite.")
+    p.add_argument("--sample", type=int, default=1000,
+                   help="With --verify: entries to check (0 = all).")
+    args = p.parse_args(argv)
+
+    import numpy as np
+    from .db.codecs import FlatDB
+
+    db = FlatDB.open(args.db_name)
+    emb = db.embeddings()
+    print(f"format:     {db.kind}")
+    print(f"entries:    {db.size}")
+    print(f"dim:        {db.dim}")
+    print(f"dtype:      {emb.dtype}")
+    print(f"normalised: {db.normalised}")
+    print(f"metadata:   {'yes' if getattr(db, '_meta_blob', None) else 'no'}")
+    lens = db.lengths()
+    print(f"lengths:    min {int(lens.min())}  median {int(np.median(lens))} "
+          f" max {int(lens.max())}")
+
+    if args.ids:
+        for i in (int(x) for x in args.ids.split(",")):
+            name, coords, seq = db.entry(i)
+            print(f"[{i}] {name}  len={len(seq)}  coords={coords.shape}  "
+                  f"meta={db.metadata(i)!r}")
+
+    if args.verify:
+        ids = np.arange(db.size)
+        if args.sample and db.size > args.sample:
+            ids = np.linspace(0, db.size - 1, args.sample).astype(np.int64)
+        bad = 0
+        for i in ids:
+            try:
+                name, coords, seq = db.entry(int(i))
+                ok = (len(seq) == coords.shape[0] and coords.shape[1] == 3
+                      and bool(np.isfinite(coords).all())
+                      and bool(np.isfinite(np.asarray(emb[int(i)], np.float32)).all()))
+            except Exception as e:
+                logger.error("entry %d: %s", i, e)
+                ok = False
+            if not ok:
+                bad += 1
+                logger.error("entry %d (%s) failed consistency check", i,
+                             db.name(int(i)) if hasattr(db, "name") else "?")
+        print(f"verify:     {len(ids) - bad}/{len(ids)} entries OK")
+        if bad:
+            sys.exit(1)
 
 
 def main(argv=None):
@@ -446,11 +510,13 @@ def main(argv=None):
         easy_search(rest)
     elif mode == "serve":
         serve(rest)
+    elif mode == "dbinfo":
+        dbinfo(rest)
     elif mode in ("-h", "--help"):
         print(USAGE)
     else:
         print("Invalid mode. Please choose one of 'segment', 'createdb', "
-              "'search', 'easy-search', or 'serve'.")
+              "'search', 'easy-search', 'serve', or 'dbinfo'.")
         sys.exit(2)
 
 
