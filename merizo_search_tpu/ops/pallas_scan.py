@@ -51,7 +51,7 @@ def _compiler_params(vmem_bytes: int | None):
 
 
 def _bm_kernel(nv_ref, q_ref, db_ref, tlen_ref, qcap_ref, *rest, tile,
-               use_len, quantized, qt, nsteps):
+               use_len, quantized, qt, nsteps, sbw):
     """One grid step: scores of ALL query tiles vs one [tile, D] DB slab ->
     block maxima. Two performance-critical layout choices:
 
@@ -66,9 +66,9 @@ def _bm_kernel(nv_ref, q_ref, db_ref, tlen_ref, qcap_ref, *rest, tile,
       qt=128 also fills all MXU output lanes.
     """
     if quantized:
-        rs_ref, bm_ref = rest
+        rs_ref, bm_ref, sbm_ref = rest
     else:
-        (bm_ref,) = rest
+        (bm_ref, sbm_ref) = rest
     nbt = tile // BLOCK
     step = pl.program_id(0)
     # row r of this tile = block a, offset b (r = a*BLOCK + b); sidecars
@@ -104,8 +104,21 @@ def _bm_kernel(nv_ref, q_ref, db_ref, tlen_ref, qcap_ref, *rest, tile,
         # skip it on full tiles breaks Mosaic's software pipeline and costs
         # 4x; the extra where-pass costs ~5%.
         s = jnp.where(row_valid, s, float("-inf"))
-        bmt = jnp.max(s, axis=1)                         # [nbt, qt]
-        bm_ref[j * qt:(j + 1) * qt, :] = bmt.T           # [qt, nbt]
+        bmt = jnp.max(s, axis=1).T                       # [qt, nbt]
+        bm_ref[j * qt:(j + 1) * qt, :] = bmt
+        # superblock max (whole tile): lets phase B select tiles without
+        # re-reducing the BM matrix. TPU lowering forbids 1-lane output
+        # blocks, so SBM uses an sbw-lane block revisited for sbw
+        # consecutive steps: each step maxes its column in via a one-hot
+        # select (read-modify-write stays in VMEM until the block retires).
+        sb_lane = jax.lax.broadcasted_iota(jnp.int32, (1, sbw), 1)
+        col = step % sbw
+        contrib = jnp.where(sb_lane == col,
+                            jnp.max(bmt, axis=1, keepdims=True),
+                            float("-inf"))               # [qt, sbw]
+        cur = sbm_ref[j * qt:(j + 1) * qt, :]
+        sbm_ref[j * qt:(j + 1) * qt, :] = jnp.where(
+            col == 0, contrib, jnp.maximum(cur, contrib))
 
 
 @partial(jax.jit, static_argnames=("tile", "use_len", "interpret"))
@@ -114,7 +127,8 @@ def blockmax_scan(q, db, n_valid, tlen, qcap, tile=DEFAULT_TILE,
     """Phase A. q [Qp,D] (same dtype as db), db [Npad,D] with Npad % tile == 0,
     tlen [Npad] f32 target lengths, qcap [Qp] f32 = qlen/mincov.
     scales [Npad] f32: per-row dequantisation scales for int8 DBs.
-    Returns BM [Qp, Npad/BLOCK] f32 block maxima (masked entries -inf)."""
+    Returns (BM [Qp, Npad/BLOCK], SBM [Qp, Npad/tile]) f32 block / superblock
+    maxima (masked entries -inf)."""
     qn, d = q.shape
     npad = db.shape[0]
     quantized = scales is not None
@@ -126,8 +140,9 @@ def blockmax_scan(q, db, n_valid, tlen, qcap, tile=DEFAULT_TILE,
         q = jnp.pad(q, ((0, qp - qn), (0, 0)))
         qcap = jnp.pad(qcap, (0, qp - qn))
     nsteps = npad // tile
+    sbw = 128 if nsteps % 128 == 0 else nsteps  # SBM lane-block width
     kernel = partial(_bm_kernel, tile=tile, use_len=use_len,
-                     quantized=quantized, qt=qt, nsteps=nsteps)
+                     quantized=quantized, qt=qt, nsteps=nsteps, sbw=sbw)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),                    # n_valid [1]
         pl.BlockSpec((qp, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -142,19 +157,22 @@ def blockmax_scan(q, db, n_valid, tlen, qcap, tile=DEFAULT_TILE,
         in_specs.append(pl.BlockSpec((tile // BLOCK, BLOCK), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM))
         args.append(scales.reshape(npad // BLOCK, BLOCK))
-    bm = pl.pallas_call(
+    bm, sbm = pl.pallas_call(
         kernel,
         grid=(nsteps,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((qp, tile // BLOCK), lambda i: (0, i),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((qp, npad // BLOCK), jnp.float32),
+        out_specs=(pl.BlockSpec((qp, tile // BLOCK), lambda i: (0, i),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((qp, sbw), lambda i: (0, i // sbw),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((qp, npad // BLOCK), jnp.float32),
+                   jax.ShapeDtypeStruct((qp, nsteps), jnp.float32)),
         # [tile, qt] f32 scores + double-buffered db tiles exceed the default
         # 16 MB scoped-vmem budget at the production tile size
         compiler_params=_compiler_params(100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
-    return bm[:qn] if qp != qn else bm
+    return (bm[:qn], sbm[:qn]) if qp != qn else (bm, sbm)
 
 
 def quantize_rows(x: np.ndarray):
@@ -350,13 +368,38 @@ def fused_topk(q, db, n_valid, k, tlen=None, qlen=None, mincov=0.0,
         qcap = jnp.full((qp,), jnp.float32(np.inf))
 
     # Phase A: block maxima at HBM bandwidth
-    bm = blockmax_scan(q, db, n_valid, tl, qcap, tile=tile, use_len=use_len,
-                       interpret=interpret, scales=scales)  # [Qp, NB]
+    bm, sbm = blockmax_scan(q, db, n_valid, tl, qcap, tile=tile,
+                            use_len=use_len, interpret=interpret,
+                            scales=scales)  # [Qp, NB], [Qp, NSB]
 
-    # Phase B: exact top-k blocks per query
+    # Phase B: exact top-k blocks per query. Superblock (= tile) maxima were
+    # computed in-kernel, so selection starts from SBM [Qp, NSB] and never
+    # re-reduces the big BM matrix: pick the top-k superblocks (same cover
+    # argument one level up), gather their BM rows with a one-hot MXU matmul
+    # (one streaming read of BM), then top-k blocks among those candidates.
+    # Chain of covers: a true top-k element's superblock must be selected
+    # (else k superblocks each hold a larger element), and within the
+    # candidate set its block must be selected (same argument on block maxima).
     nb = npad // BLOCK
+    nbt = tile // BLOCK
+    nsb = npad // tile
     kb = min(k, nb)
-    _, bidx = _topk_entries(bm, kb)                      # [Qp, kb] block ids
+    if nsb >= 2 * min(k, nsb) and nsb >= 2:
+        ksb = min(k, nsb)
+        _, sbi = _topk_entries(sbm, ksb)                 # [Qp, ksb] tile ids
+        onehot = (sbi[:, :, None] == jnp.arange(nsb)[None, None, :]
+                  ).astype(jnp.float32)
+        bm3 = jnp.where(jnp.isfinite(bm), bm, jnp.float32(-3.4e38)
+                        ).reshape(qp, nsb, nbt)          # -inf*0 = nan guard
+        cand_bm = jnp.einsum("qks,qsb->qkb", onehot, bm3,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+        cand_bm = jnp.where(cand_bm <= -3.0e38, -jnp.inf, cand_bm)
+        cbi = sbi[:, :, None] * nbt + jnp.arange(nbt)[None, None, :]
+        _, bsel = _topk_entries(cand_bm.reshape(qp, ksb * nbt), kb)
+        bidx = jnp.take_along_axis(cbi.reshape(qp, ksb * nbt), bsel, axis=1)
+    else:
+        _, bidx = _topk_entries(bm, kb)                  # [Qp, kb] block ids
 
     # Phase C: recompute masked scores of only the selected blocks (Pallas
     # gather at streaming bandwidth) and take the final exact top-k.

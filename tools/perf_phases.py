@@ -50,7 +50,7 @@ def main():
     print(f"rtt floor: {rtt*1e3:.1f} ms")
 
     for tile in ([DEFAULT_TILE] if len(sys.argv) < 2 else [int(t) for t in sys.argv[1].split(",")]):
-        for qn in (64, 128, 256, 512):
+        for qn in [int(x) for x in (sys.argv[2].split(",") if len(sys.argv) > 2 else "64,128,256,512".split(","))]:
             q = jax.random.normal(kq, (qn, DIM), jnp.bfloat16)
             tl = jnp.zeros((DB_N,), jnp.float32)
             qcap = jnp.full((qn,), jnp.float32(np.inf))
@@ -59,7 +59,7 @@ def main():
             def repA(q, db):
                 def body(i, acc):
                     qq = q * (1.0 + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-3))
-                    bm = blockmax_scan(qq, db, DB_N, tl, qcap, tile=tile)
+                    bm, _sbm = blockmax_scan(qq, db, DB_N, tl, qcap, tile=tile)
                     return acc + jnp.sum(bm[:, :8], axis=-1)
                 return jax.lax.fori_loop(0, REPEATS, body, jnp.zeros((qn,), jnp.float32))
 

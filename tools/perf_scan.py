@@ -78,15 +78,15 @@ def run_suite(db, q0, scales, bytes_):
     BYTES = bytes_
 
     def phase_a(i, q, db, *s):
-        bm = ps.blockmax_scan(perturb(i, q) if q.dtype == jnp.bfloat16 else q + (i % 3).astype(q.dtype),
-                              db, N, tl, qcap,
-                              scales=(s[0] if s else None))
+        bm, _sbm = ps.blockmax_scan(perturb(i, q) if q.dtype == jnp.bfloat16 else q + (i % 3).astype(q.dtype),
+                                    db, N, tl, qcap,
+                                    scales=(s[0] if s else None))
         return jnp.sum(bm[:, :8])
 
     def phase_ab(i, q, db, *s):
-        bm = ps.blockmax_scan(perturb(i, q) if q.dtype == jnp.bfloat16 else q + (i % 3).astype(q.dtype),
-                              db, N, tl, qcap,
-                              scales=(s[0] if s else None))
+        bm, _sbm = ps.blockmax_scan(perturb(i, q) if q.dtype == jnp.bfloat16 else q + (i % 3).astype(q.dtype),
+                                    db, N, tl, qcap,
+                                    scales=(s[0] if s else None))
         v, bidx = ps._topk_entries(bm, K)
         return jnp.sum(v) + jnp.sum(bidx[:, 0]).astype(jnp.float32)
 
