@@ -104,8 +104,15 @@ def _bm_kernel(nv_ref, q_ref, db_ref, tlen_ref, qcap_ref, *rest, tile,
         # skip it on full tiles breaks Mosaic's software pipeline and costs
         # 4x; the extra where-pass costs ~5%.
         s = jnp.where(row_valid, s, float("-inf"))
-        bmt = jnp.max(s, axis=1).T                       # [qt, nbt]
-        bm_ref[j * qt:(j + 1) * qt, :] = bmt
+        # clamp block maxima to a finite floor: keeps -inf out of BM so the
+        # phase-B one-hot gather needs no NaN-guard pass over the full matrix
+        # (selection order is unchanged; exact -inf scores are restored by
+        # the phase-C rescore)
+        bmt = jnp.maximum(jnp.max(s, axis=1), jnp.float32(-3.4e38)).T
+        if len(bm_ref.shape) == 3:
+            bm_ref[0, j * qt:(j + 1) * qt, :] = bmt      # unaligned-tile path
+        else:
+            bm_ref[j * qt:(j + 1) * qt, :] = bmt
         # superblock max (whole tile): lets phase B select tiles without
         # re-reducing the BM matrix. TPU lowering forbids 1-lane output
         # blocks, so SBM uses an sbw-lane block revisited for sbw
@@ -157,21 +164,36 @@ def blockmax_scan(q, db, n_valid, tlen, qcap, tile=DEFAULT_TILE,
         in_specs.append(pl.BlockSpec((tile // BLOCK, BLOCK), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM))
         args.append(scales.reshape(npad // BLOCK, BLOCK))
+    nbt = tile // BLOCK
+    # TPU lowering needs the BM out block's lane dim 128-divisible (or the
+    # whole array); production tiles satisfy it, small test tiles fall back
+    # to a [step, qp, nbt] layout transposed after the fact (a few MB)
+    aligned = nbt % 128 == 0 or nsteps == 1
+    if aligned:
+        bm_spec = pl.BlockSpec((qp, nbt), lambda i: (0, i),
+                               memory_space=pltpu.VMEM)
+        bm_shape = jax.ShapeDtypeStruct((qp, npad // BLOCK), jnp.float32)
+        post = lambda bm: bm
+    else:
+        bm_spec = pl.BlockSpec((1, qp, nbt), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+        bm_shape = jax.ShapeDtypeStruct((nsteps, qp, nbt), jnp.float32)
+        post = lambda bm: bm.transpose(1, 0, 2).reshape(qp, npad // BLOCK)
     bm, sbm = pl.pallas_call(
         kernel,
         grid=(nsteps,),
         in_specs=in_specs,
-        out_specs=(pl.BlockSpec((qp, tile // BLOCK), lambda i: (0, i),
-                                memory_space=pltpu.VMEM),
+        out_specs=(bm_spec,
                    pl.BlockSpec((qp, sbw), lambda i: (0, i // sbw),
                                 memory_space=pltpu.VMEM)),
-        out_shape=(jax.ShapeDtypeStruct((qp, npad // BLOCK), jnp.float32),
+        out_shape=(bm_shape,
                    jax.ShapeDtypeStruct((qp, nsteps), jnp.float32)),
         # [tile, qt] f32 scores + double-buffered db tiles exceed the default
         # 16 MB scoped-vmem budget at the production tile size
         compiler_params=_compiler_params(100 * 1024 * 1024),
         interpret=interpret,
     )(*args)
+    bm = post(bm)
     return (bm[:qn], sbm[:qn]) if qp != qn else (bm, sbm)
 
 
@@ -186,7 +208,7 @@ def quantize_rows(x: np.ndarray):
     return qv, s
 
 
-SUB = 32  # subblock width for the recursive cover select
+SUB = 8  # minimum subblock width for the recursive cover select
 
 
 def _topk_entries(x, k):
@@ -200,18 +222,19 @@ def _topk_entries(x, k):
     at W=12800, k=100.
     """
     qn, w = x.shape
-    if w <= max(4 * k, 2 * SUB) or w % SUB:
+    if w <= max(2 * k, 256) or w % 8:
         kk = min(k, w)
         v, i = jax.lax.top_k(x, kk)
         if kk < k:
             v = jnp.pad(v, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
             i = jnp.pad(i, ((0, 0), (0, k - kk)))
         return v, i.astype(jnp.int32)
-    # adaptive subblock width: wider groups for very wide rows so the
-    # [Q, k, W/sub] one-hot gather operand stays a few tens of MB
-    sub = SUB
-    while w // sub > 2048 and w % (sub * 4) == 0:
-        sub *= 4
+    # adaptive subblock width: smallest power-of-two sub (>=8) that still
+    # leaves nsb > 2k subblocks (so the cover shrinks the row), widened while
+    # nsb > 4096 so the [Q, k, nsb] one-hot operand stays bounded
+    sub = 8
+    while w % (sub * 2) == 0 and w // (sub * 2) > 2 * k and w // sub > 4096:
+        sub *= 2
     nsb = w // sub
     if nsb <= 2 * k:  # no meaningful reduction left: sort directly
         v, i = jax.lax.top_k(x, min(k, w))
@@ -220,23 +243,42 @@ def _topk_entries(x, k):
     sm = jnp.max(sb, axis=-1)                            # [Q, nsb]
     kk = min(k, nsb)
     _, sbi = _topk_entries(sm, kk)                       # cover subblocks
-    # gather the covered subblocks with a one-hot MXU matmul (dynamic gathers
-    # are slow on TPU). One-hot rows select exactly, and HIGHEST precision
-    # keeps fp32 values bit-exact; the einsum is tiny (k x nsb x SUB) so the
-    # 3-pass fp32 decomposition costs nothing.
+    # gather the covered subblocks with a one-hot MXU matmul (XLA lowers
+    # per-element dynamic gathers to ~10ns/element scalar loops). One-hot
+    # rows select exactly, and HIGHEST precision keeps fp32 values bit-exact;
+    # the einsum is tiny (k x nsb x sub).
     onehot = (sbi[:, :, None] == jnp.arange(nsb)[None, None, :]).astype(jnp.float32)
     sbf = jnp.where(jnp.isfinite(sb), sb, jnp.float32(-3.4e38))  # -inf*0 = nan
     cand = jnp.einsum("qkb,qbc->qkc", onehot, sbf,
                       preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)
     cand = jnp.where(cand <= -3.0e38, -jnp.inf, cand)
-    cidx = sbi[:, :, None] * sub + jnp.arange(sub)[None, None, :]
     v, sel = _topk_entries(cand.reshape(qn, kk * sub), k)
-    idx = jnp.take_along_axis(cidx.reshape(qn, kk * sub), sel, axis=1)
+    # map local candidate position -> source column arithmetically:
+    # sel = (picked subblock slot) * sub + offset, so gather only the kk
+    # subblock ids (one-hot matmul again — NOT take_along_axis)
+    slot = sel // sub
+    src_sb = _gather_int(sbi, slot)
+    idx = src_sb * sub + sel % sub
     return v, idx.astype(jnp.int32)
 
 
-GATHER_G = 8  # blocks gathered per grid step in the phase-C kernel
+def _gather_int(src, sel):
+    """out[q, i] = src[q, sel[q, i]] for int32 src via a one-hot fp32 matmul.
+
+    XLA's TPU gather runs a ~10 ns/element scalar loop (0.26 ms for a
+    [256,100] gather); the MXU one-hot product is ~50x faster. Exact while
+    values < 2^24 (fp32 integer range) — selection ids and block ids are
+    far below that."""
+    qn, w = src.shape
+    onehot = (sel[:, :, None] == jnp.arange(w)[None, None, :]).astype(jnp.float32)
+    out = jnp.einsum("qkw,qw->qk", onehot, src.astype(jnp.float32),
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    return out.astype(jnp.int32)
+
+
+GATHER_G = 28  # blocks gathered per grid step in the phase-C kernel
 
 
 @partial(jax.jit, static_argnames=("use_len", "interpret"))
@@ -387,17 +429,21 @@ def fused_topk(q, db, n_valid, k, tlen=None, qlen=None, mincov=0.0,
     if nsb >= 2 * min(k, nsb) and nsb >= 2:
         ksb = min(k, nsb)
         _, sbi = _topk_entries(sbm, ksb)                 # [Qp, ksb] tile ids
+        # gather the selected superblocks' BM slabs with a one-hot MXU
+        # matmul — the only re-read of BM (take_along_axis instead forces a
+        # full-BM relayout copy before XLA's gather)
         onehot = (sbi[:, :, None] == jnp.arange(nsb)[None, None, :]
                   ).astype(jnp.float32)
-        bm3 = jnp.where(jnp.isfinite(bm), bm, jnp.float32(-3.4e38)
-                        ).reshape(qp, nsb, nbt)          # -inf*0 = nan guard
-        cand_bm = jnp.einsum("qks,qsb->qkb", onehot, bm3,
+        # BM is finite by construction (kernel clamps to -3.4e38), so the
+        # one-hot product needs no NaN guard
+        cand_bm = jnp.einsum("qks,qsb->qkb", onehot, bm.reshape(qp, nsb, nbt),
                              preferred_element_type=jnp.float32,
                              precision=jax.lax.Precision.HIGHEST)
         cand_bm = jnp.where(cand_bm <= -3.0e38, -jnp.inf, cand_bm)
-        cbi = sbi[:, :, None] * nbt + jnp.arange(nbt)[None, None, :]
         _, bsel = _topk_entries(cand_bm.reshape(qp, ksb * nbt), kb)
-        bidx = jnp.take_along_axis(cbi.reshape(qp, ksb * nbt), bsel, axis=1)
+        # local candidate -> global block id arithmetically (gathered values
+        # are superblock ids < 2^24, exact in the fp32 one-hot product)
+        bidx = _gather_int(sbi, bsel // nbt) * nbt + bsel % nbt
     else:
         _, bidx = _topk_entries(bm, kb)                  # [Qp, kb] block ids
 
@@ -409,9 +455,10 @@ def fused_topk(q, db, n_valid, k, tlen=None, qlen=None, mincov=0.0,
     scores = gather_block_scores(qc, db, tl.reshape(nb, BLOCK), qcap, bidx,
                                  n_valid, use_len=use_len, interpret=interpret,
                                  scales=scales)
-    ridx = (bidx[:, :, None] * BLOCK
-            + jnp.arange(BLOCK)[None, None, :]).reshape(qp, kbp * BLOCK)
     v, sel = _topk_entries(scores, k)
-    idx = jnp.take_along_axis(ridx, sel, axis=1)
+    # candidate slot -> db row arithmetically: gather only block ids
+    # (< 2^24, exact in the fp32 one-hot product) and rebuild the row id
+    # in int32 — a take_along_axis here costs ~0.26 ms in scalar gathers
+    idx = _gather_int(bidx, sel // BLOCK) * BLOCK + sel % BLOCK
     idx = jnp.where(jnp.isfinite(v), idx, -1)
     return v[:qn], idx[:qn].astype(jnp.int32)

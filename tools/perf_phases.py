@@ -24,7 +24,7 @@ from merizo_search_tpu.ops.pallas_scan import (
 DB_N = 1 << 24
 DIM = 128
 K = 100
-REPEATS = 8
+REPEATS = 32
 
 
 def timed(f, n=3):
