@@ -1,7 +1,7 @@
 """Headline benchmark: exact flat top-k search throughput on TPU.
 
 Measures queries/sec for batched exact cosine top-100 over a synthetic
-2,097,152 x 128 embedding database (4x CATH-4.3 scale; the same scan that
+16,777,216 x 128 embedding database (4x CATH-4.3 scale; the same scan that
 runs per-block at TED-365M scale) on the single available TPU chip, and
 compares against the reference implementation's own scan — the torch
 F.cosine_similarity + topk dense pass (reference dbsearch.py:75-81) executed
@@ -26,9 +26,9 @@ import numpy as np
 
 DB_N = 1 << 24          # 16,777,216 vectors (4 GB bf16 resident in HBM)
 DIM = 128
-N_QUERIES = 64
+N_QUERIES = 256
 K = 100
-REPEATS = 8
+REPEATS = 24
 DTYPE = "bfloat16"      # halves HBM traffic; scores accumulate in fp32
 
 

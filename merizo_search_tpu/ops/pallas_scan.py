@@ -35,7 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BLOCK = 128        # rows per selection block (= lane width)
-DEFAULT_TILE = 16384  # DB rows per grid step: bf16 tile = 4 MB VMEM
+DEFAULT_TILE = 32768  # DB rows per grid step: bf16 tile = 8 MB VMEM
 
 NEG_INF = jnp.float32(-jnp.inf)
 
