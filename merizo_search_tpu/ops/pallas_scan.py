@@ -81,34 +81,47 @@ def _bm_kernel(nv_ref, q_ref, db_ref, tlen_ref, qcap_ref, *rest, tile,
     for j in range(nqt):                                 # static unroll
         qtile = q_ref[j * qt:(j + 1) * qt, :]
         if quantized:
+            # int8 MXU path. Scales are block-uniform (quantize_blocks), so
+            # the int32 block max commutes with dequantisation: reduce raw
+            # int32 scores and scale only the [nbt, qt] maxima — a per-row
+            # multiply over the full score block costs ~2.8x the whole scan.
+            # Masked entries get an int sentinel far below any real score
+            # (|score| <= 127*127*128 ~ 2.1e6 << 2^31).
             s = jax.lax.dot_general(
                 db_ref[:], qtile,
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.int32)        # int8 MXU path
-            s = (s.astype(jnp.float32).reshape(nbt, BLOCK, qt)
-                 * rs_ref[:].reshape(nbt, BLOCK, 1))     # per-row dequant
+                preferred_element_type=jnp.int32)        # [tile, qt]
+            s = s.reshape(nbt, BLOCK, qt)
+            sentinel = jnp.int32(-(2 ** 31) + 1)
+            if use_len:
+                mask = (tlen_ref[:].reshape(nbt, BLOCK, 1)
+                        <= qcap_ref[0:1, j * qt:(j + 1) * qt].reshape(1, 1, qt))
+                s = jnp.where(mask, s, sentinel)
+            s = jnp.where(row_valid, s, sentinel)
+            bmt = (jnp.max(s, axis=1).astype(jnp.float32)
+                   * rs_ref[:, 0:1]).T                   # [qt, nbt]
         else:
             s = jax.lax.dot_general(
                 db_ref[:], qtile,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)      # [tile, qt]
             s = s.reshape(nbt, BLOCK, qt)
-        if use_len:
-            # tlen_ref holds tlen*mincov and qcap_ref holds qlen, so this is
-            # exactly the reference's keep-iff qlen >= tlen*mincov
-            mask = (tlen_ref[:].reshape(nbt, BLOCK, 1)
-                    <= qcap_ref[0:1, j * qt:(j + 1) * qt].reshape(1, 1, qt))
-            s = jnp.where(mask, s, float("-inf"))
+            if use_len:
+                # tlen_ref holds tlen*mincov and qcap_ref holds qlen, so this
+                # is exactly the reference's keep-iff qlen >= tlen*mincov
+                mask = (tlen_ref[:].reshape(nbt, BLOCK, 1)
+                        <= qcap_ref[0:1, j * qt:(j + 1) * qt].reshape(1, 1, qt))
+                s = jnp.where(mask, s, float("-inf"))
 
-        # NOTE: row-validity is masked unconditionally — a pl.when branch to
-        # skip it on full tiles breaks Mosaic's software pipeline and costs
-        # 4x; the extra where-pass costs ~5%.
-        s = jnp.where(row_valid, s, float("-inf"))
-        # clamp block maxima to a finite floor: keeps -inf out of BM so the
-        # phase-B one-hot gather needs no NaN-guard pass over the full matrix
-        # (selection order is unchanged; exact -inf scores are restored by
-        # the phase-C rescore)
-        bmt = jnp.maximum(jnp.max(s, axis=1), jnp.float32(-3.4e38)).T
+            # NOTE: row-validity is masked unconditionally — a pl.when branch
+            # to skip it on full tiles breaks Mosaic's software pipeline and
+            # costs 4x; the extra where-pass costs ~5%.
+            s = jnp.where(row_valid, s, float("-inf"))
+            # clamp block maxima to a finite floor: keeps -inf out of BM so
+            # the phase-B one-hot gather needs no NaN-guard pass over the
+            # full matrix (selection order is unchanged; exact -inf scores
+            # are restored by the phase-C rescore)
+            bmt = jnp.maximum(jnp.max(s, axis=1), jnp.float32(-3.4e38)).T
         if len(bm_ref.shape) == 3:
             bm_ref[0, j * qt:(j + 1) * qt, :] = bmt      # unaligned-tile path
         else:
@@ -198,12 +211,33 @@ def blockmax_scan(q, db, n_valid, tlen, qcap, tile=DEFAULT_TILE,
 
 
 def quantize_rows(x: np.ndarray):
-    """Symmetric per-row int8 quantisation for the int8 scan path.
+    """Symmetric per-row int8 quantisation (query-side / generic use).
 
     Returns (q int8 [N,D], scales f32 [N]) with x ~ q * scales[:,None]."""
     x = np.asarray(x, np.float32)
     a = np.max(np.abs(x), axis=1)
     s = np.where(a > 0, a / 127.0, 1.0).astype(np.float32)
+    qv = np.clip(np.rint(x / s[:, None]), -127, 127).astype(np.int8)
+    return qv, s
+
+
+def quantize_blocks(x: np.ndarray, block: int = BLOCK):
+    """Symmetric int8 quantisation with one shared scale per `block`
+    consecutive rows — the DB-side format for the fused int8 scan.
+
+    With a block-uniform scale the int32 block max commutes with
+    dequantisation, so the kernel reduces raw int32 scores and applies the
+    scale to the 128x-smaller block-max matrix instead of every score
+    (a per-row multiply over the full score block costs ~2.8x the whole
+    scan). N must divide by `block` (the engine pads first). Returns
+    (q int8 [N,D], scales f32 [N]) with scales constant within each block."""
+    x = np.asarray(x, np.float32)
+    n = x.shape[0]
+    nb = -(-n // block)
+    a = np.asarray([np.max(np.abs(x[i * block:(i + 1) * block]), initial=0.0)
+                    for i in range(nb)])
+    sb = np.where(a > 0, a / 127.0, 1.0).astype(np.float32)
+    s = np.repeat(sb, block)[:n]
     qv = np.clip(np.rint(x / s[:, None]), -127, 127).astype(np.int8)
     return qv, s
 

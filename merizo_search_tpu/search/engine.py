@@ -242,7 +242,7 @@ class SearchEngine:
             lengths = np.concatenate([lengths, np.full(npad - n, 1e9, np.float32)])
         self._dscale = None
         if self.quantized:
-            emb, rscale = pallas_scan.quantize_rows(emb)  # pad rows -> 0, scale 1
+            emb, rscale = pallas_scan.quantize_blocks(emb)  # pad rows -> 0, scale 1
             if self._fused:
                 if self.mesh is not None:
                     self._dscale = jax.device_put(
@@ -416,7 +416,7 @@ class SearchEngine:
                         tl = np.zeros(npad, np.float32)  # mesh fn takes tlen always
                     rs = None
                     if quant:
-                        blk, rs = pallas_scan.quantize_rows(blk)
+                        blk, rs = pallas_scan.quantize_blocks(blk)
                     elif self.quantized:
                         # int8 requested off-TPU: dequantised-equivalent f32
                         pass

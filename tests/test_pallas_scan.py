@@ -135,11 +135,11 @@ def test_fused_mesh_int8(problem):
     quantised scores across the mesh."""
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
     from merizo_search_tpu.search.engine import build_mesh_search
-    from merizo_search_tpu.ops.pallas_scan import quantize_rows
+    from merizo_search_tpu.ops.pallas_scan import quantize_rows, quantize_blocks
 
     q, db, _, _ = problem
     n, k = db.shape[0], 9
-    db8, rs = quantize_rows(db)
+    db8, rs = quantize_blocks(db)
     q8, qs = quantize_rows(q)
     sq = (q8.astype(np.int64) @ db8.astype(np.int64).T) * rs[None, :].astype(np.float64)
     ref_i = np.argsort(-sq, axis=1, kind="stable")[:, :k]

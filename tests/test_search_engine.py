@@ -160,7 +160,7 @@ def test_int8_engine_plumbing(tmp_path, rng):
 
 
 def test_quantize_rows_roundtrip(rng):
-    from merizo_search_tpu.ops.pallas_scan import quantize_rows
+    from merizo_search_tpu.ops.pallas_scan import quantize_rows, quantize_blocks
 
     x = rng.normal(size=(50, 128)).astype(np.float32)
     x[7] = 0.0  # zero row must not divide by zero
@@ -211,14 +211,14 @@ def test_int8_quantized_mesh_kernel_exact(rng):
     """The quantised fused kernel on a CPU mesh (interpret mode): exact top-k
     of the quantised scores, per-shard scan + ICI merge."""
     from merizo_search_tpu.search.engine import build_mesh_search
-    from merizo_search_tpu.ops.pallas_scan import quantize_rows
+    from merizo_search_tpu.ops.pallas_scan import quantize_rows, quantize_blocks
 
     n, dim, k = 4 * 256, 128, 7
     embs = rng.normal(size=(n, dim)).astype(np.float32)
     embs /= np.linalg.norm(embs, axis=1, keepdims=True)
     q = rng.normal(size=(2, dim)).astype(np.float32)
     q /= np.linalg.norm(q, axis=1, keepdims=True)
-    db8, rs = quantize_rows(embs)
+    db8, rs = quantize_blocks(embs)
     q8, qs = quantize_rows(q)
 
     mesh = Mesh(np.array(jax.devices()[:4]), ("d",))
