@@ -169,3 +169,47 @@ def test_fused_topk_bf16_matches_bf16_xla(problem):
                        precision=jax.lax.Precision.DEFAULT)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), atol=1e-5)
+
+
+def test_fused_topk_superblock_branch(problem):
+    """Small tile vs large nsb forces the two-level superblock cover path
+    (nsb >= 2k): SBM select -> one-hot BM slab gather -> block select. Must
+    stay exact vs brute force, with and without the coverage filter."""
+    q, db, tlen, qlen = problem
+    n_valid, k = db.shape[0] - 100, 3  # nsb = 16 >= 2k
+    ref_v, ref_i = _brute(q, db, n_valid, k)
+    v, i = fused_topk(jnp.asarray(q), jnp.asarray(db), n_valid, k,
+                      tile=512, interpret=True)
+    np.testing.assert_allclose(np.asarray(v), ref_v, rtol=0, atol=1e-5)
+    assert np.array_equal(np.asarray(i), ref_i)
+
+    ref_v, ref_i = _brute(q, db, n_valid, k, tlen=tlen, qlen=qlen, mincov=0.7)
+    v, i = fused_topk(jnp.asarray(q), jnp.asarray(db), n_valid, k,
+                      tlen=jnp.asarray(tlen), qlen=jnp.asarray(qlen),
+                      mincov=0.7, tile=512, use_len=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(v), ref_v, rtol=0, atol=1e-5)
+    assert np.array_equal(np.asarray(i), ref_i)
+
+
+def test_quantize_blocks_uniform_scales(rng):
+    from merizo_search_tpu.ops.pallas_scan import quantize_blocks
+
+    x = rng.normal(size=(384, 16)).astype(np.float32)
+    q8, s = quantize_blocks(x)
+    assert s.shape == (384,)
+    # one scale per 128-row block
+    for b in range(3):
+        assert np.all(s[b * 128:(b + 1) * 128] == s[b * 128])
+    np.testing.assert_allclose(q8 * s[:, None], x, atol=np.abs(x).max() / 100)
+    # ragged tail shares the last block's scale
+    q8t, st = quantize_blocks(x[:200])
+    assert np.all(st[128:200] == st[128])
+
+
+def test_gather_int_matches_take_along(rng):
+    from merizo_search_tpu.ops.pallas_scan import _gather_int
+
+    src = rng.integers(0, 2 ** 23, size=(7, 300)).astype(np.int32)
+    sel = rng.integers(0, 300, size=(7, 40)).astype(np.int32)
+    out = np.asarray(_gather_int(jnp.asarray(src), jnp.asarray(sel)))
+    assert np.array_equal(out, np.take_along_axis(src, sel, axis=1))
