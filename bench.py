@@ -1,7 +1,7 @@
 """Headline benchmark: exact flat top-k search throughput on TPU.
 
 Measures queries/sec for batched exact cosine top-100 over a synthetic
-16,777,216 x 128 embedding database (4x CATH-4.3 scale; the same scan that
+16,777,216 x 128 embedding database (~32x CATH-4.3 scale; the same scan that
 runs per-block at TED-365M scale) on the single available TPU chip, and
 compares against the reference implementation's own scan — the torch
 F.cosine_similarity + topk dense pass (reference dbsearch.py:75-81) executed
@@ -90,7 +90,7 @@ def tpu_qps():
     # secondary: the int8 quantised scan (same kernel family, half the HBM
     # traffic; exact top-k of the quantised scores)
     try:
-        from merizo_search_tpu.ops.pallas_scan import fused_topk as ft, quantize_rows
+        from merizo_search_tpu.ops.pallas_scan import fused_topk as ft
         # scale 40 keeps ~99.8% of N(0,1) entries in range; clip the rest so
         # the int8 data is well-defined (values only matter for timing)
         db8 = jax.jit(lambda d: jnp.clip(d * jnp.bfloat16(40), -127, 127)

@@ -51,7 +51,7 @@ def _compiler_params(vmem_bytes: int | None):
 
 
 def _bm_kernel(nv_ref, q_ref, db_ref, tlen_ref, qcap_ref, *rest, tile,
-               use_len, quantized, qt, nsteps, sbw):
+               use_len, quantized, qt, sbw):
     """One grid step: scores of ALL query tiles vs one [tile, D] DB slab ->
     block maxima. Two performance-critical layout choices:
 
@@ -148,7 +148,10 @@ def blockmax_scan(q, db, n_valid, tlen, qcap, tile=DEFAULT_TILE,
     tlen [Npad] f32 target lengths, qcap [Qp] f32 = qlen/mincov.
     scales [Npad] f32: per-row dequantisation scales for int8 DBs.
     Returns (BM [Qp, Npad/BLOCK], SBM [Qp, Npad/tile]) f32 block / superblock
-    maxima (masked entries -inf)."""
+    maxima. Entries are always finite: bf16 maxima are clamped to a -3.4e38
+    floor and int8 masked blocks carry sentinel*scale, so masked blocks are
+    merely "very negative" — selection-only values; exact -inf for masked
+    rows is restored by the phase-C rescore."""
     qn, d = q.shape
     npad = db.shape[0]
     quantized = scales is not None
@@ -162,7 +165,7 @@ def blockmax_scan(q, db, n_valid, tlen, qcap, tile=DEFAULT_TILE,
     nsteps = npad // tile
     sbw = 128 if nsteps % 128 == 0 else nsteps  # SBM lane-block width
     kernel = partial(_bm_kernel, tile=tile, use_len=use_len,
-                     quantized=quantized, qt=qt, nsteps=nsteps, sbw=sbw)
+                     quantized=quantized, qt=qt, sbw=sbw)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),                    # n_valid [1]
         pl.BlockSpec((qp, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -233,9 +236,11 @@ def quantize_blocks(x: np.ndarray, block: int = BLOCK):
     (q int8 [N,D], scales f32 [N]) with scales constant within each block."""
     x = np.asarray(x, np.float32)
     n = x.shape[0]
-    nb = -(-n // block)
-    a = np.asarray([np.max(np.abs(x[i * block:(i + 1) * block]), initial=0.0)
-                    for i in range(nb)])
+    nfull = (n // block) * block
+    a = (np.abs(x[:nfull]).reshape(-1, block * x.shape[1]).max(axis=1)
+         if nfull else np.zeros((0,), np.float32))
+    if n != nfull:  # ragged tail shares one scale
+        a = np.concatenate([a, [np.max(np.abs(x[nfull:]), initial=0.0)]])
     sb = np.where(a > 0, a / 127.0, 1.0).astype(np.float32)
     s = np.repeat(sb, block)[:n]
     qv = np.clip(np.rint(x / s[:, None]), -127, 127).astype(np.int8)

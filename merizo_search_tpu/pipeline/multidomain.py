@@ -100,15 +100,14 @@ def _submatrix_to_hits(mtx: np.ndarray, qc: str, hc: str, qds: list[str], hds: l
 
 
 def _embscore_matrix(q_structs: list[dict], db_idxs: list[int],
-                     db: FlatDB, weights: str | None) -> np.ndarray:
+                     db: FlatDB, params) -> np.ndarray:
     """Query-domain x candidate-domain cosine-similarity matrix.
 
     Queries are embedded once (batched Foldclass forward); candidate
     embeddings are read straight from the database rows, so no candidate is
     ever re-embedded or aligned."""
-    from .embed import embed_structures, load_foldclass_params
+    from .embed import embed_structures
 
-    params = load_foldclass_params(weights)
     q_emb = embed_structures(params, [np.asarray(q["coords"], np.float32)
                                       for q in q_structs])
     q_emb /= np.maximum(np.linalg.norm(q_emb, axis=1, keepdims=True), 1e-12)
@@ -184,6 +183,11 @@ def multi_domain_search(queries, search_results, db_name: str,
 
     db = FlatDB.open(db_name)
     final_results = []
+    fc_params = None
+    if mode == "embscore":
+        from .embed import load_foldclass_params
+
+        fc_params = load_foldclass_params(weights)  # one load for all chains
 
     for qc in list(hit_index):
         if len(hit_index[qc]) < 2:
@@ -216,7 +220,7 @@ def multi_domain_search(queries, search_results, db_name: str,
             logger.info("Query chain %s: embedding-score %d x %d domain pairs...",
                         qc, len(qds), len(entries))
             mtx = _embscore_matrix(q_structs, [e["hi"] for e in entries],
-                                   db, weights)
+                                   db, fc_params)
         else:
             logger.info("Query chain %s: TM-align %d x %d domain pairs (batched)...",
                         qc, len(qds), len(entries))

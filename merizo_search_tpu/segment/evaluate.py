@@ -137,12 +137,17 @@ def score_chopping(pred: list[set[int]], true: list[set[int]], tol: int = 8):
         ri, ci = linear_sum_assignment(-ov)
         matched = ov[ri, ci].sum()
     except ImportError:  # pragma: no cover - greedy fallback
-        matched, used = 0.0, set()
-        for i in np.argsort(-ov.max(axis=1)):
-            j = int(np.argmax(ov[i]))
-            if j not in used:
+        # greedy over all (pred, true) pairs by descending overlap: each
+        # domain used at most once (not optimal, but never drops a pred
+        # whose best column was taken — it falls through to its next pair)
+        matched, used_p, used_t = 0.0, set(), set()
+        order = np.dstack(np.unravel_index(np.argsort(-ov, axis=None),
+                                           ov.shape))[0]
+        for i, j in order:
+            if i not in used_p and j not in used_t and ov[i, j] > 0:
                 matched += ov[i, j]
-                used.add(j)
+                used_p.add(int(i))
+                used_t.add(int(j))
     union = len(set().union(*pred) | set().union(*true))
     ndo = matched / max(union, 1)
 

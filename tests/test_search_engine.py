@@ -160,7 +160,7 @@ def test_int8_engine_plumbing(tmp_path, rng):
 
 
 def test_quantize_rows_roundtrip(rng):
-    from merizo_search_tpu.ops.pallas_scan import quantize_rows, quantize_blocks
+    from merizo_search_tpu.ops.pallas_scan import quantize_rows
 
     x = rng.normal(size=(50, 128)).astype(np.float32)
     x[7] = 0.0  # zero row must not divide by zero

@@ -12,9 +12,10 @@ Prints aggregate NDO-style overlap, domain-count accuracy and boundary F1.
 
 import argparse
 import json
+import os
 import sys
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from merizo_search_tpu.segment.evaluate import (evaluate, load_gt_csv,
                                                 load_segment_tsv)
