@@ -409,6 +409,12 @@ def serve(argv):
                    choices=["flat", "ivf"])
     p.add_argument("--nprobe", type=int, default=32)
     p.add_argument("--nlist", type=int, default=0)
+    p.add_argument("--max_batch", type=int, default=64,
+                   help="Dynamic micro-batching: concurrent /search requests "
+                        "coalesce into batches up to this size (1 disables).")
+    p.add_argument("--batch_window_ms", type=float, default=4.0,
+                   help="Max time a /search request lingers for co-batched "
+                        "requests.")
     args = p.parse_args(argv)
     _apply_device(args.device)
 
@@ -419,7 +425,8 @@ def serve(argv):
                weights=args.weights, merizo_weights=args.merizo_weights,
                tmalign_backend=args.tmalign_backend,
                search_index=args.search_index, nprobe=args.nprobe,
-               nlist=args.nlist)
+               nlist=args.nlist, max_batch=args.max_batch,
+               batch_window_ms=args.batch_window_ms)
 
 
 USAGE = """Usage: python -m merizo_search_tpu.cli <mode> <args>

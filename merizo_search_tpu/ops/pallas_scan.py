@@ -317,7 +317,7 @@ def _gather_int(src, sel):
     return out.astype(jnp.int32)
 
 
-GATHER_G = 28  # blocks gathered per grid step in the phase-C kernel
+GATHER_G = 25  # blocks gathered per grid step (25 | 100 = default k: no padding)
 
 
 @partial(jax.jit, static_argnames=("use_len", "interpret"))

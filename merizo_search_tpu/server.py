@@ -17,8 +17,10 @@ Endpoints (JSON in/out):
                           -> {"domains": [...], "hits_per_domain": [...]}
 
 Run: merizo-tpu serve <db_name> [--port 8086] [--precision bf16] ...
-Concurrency: requests are handled on a thread pool; device work serialises
-through JAX's own dispatch queue, so concurrent clients pipeline naturally.
+Concurrency: requests are handled on a thread pool, and concurrent
+/search requests with the same options are dynamically micro-batched into
+one scan dispatch (the scan is bandwidth-bound, so a 64-query batch costs
+nearly the same as one query) — see MicroBatcher.
 """
 
 from __future__ import annotations
@@ -35,6 +37,63 @@ import numpy as np
 logger = logging.getLogger(__name__)
 
 
+class MicroBatcher:
+    """Dynamic request batching: concurrent submissions with the same search
+    options coalesce into one batched engine dispatch.
+
+    The flat scan is HBM-bandwidth bound, so scanning for 64 queries costs
+    nearly the same as for one — under concurrent load this multiplies
+    server throughput by the achieved batch size. A submission waits at most
+    `linger_ms` for co-travellers (one device dispatch is in flight while
+    the next batch accumulates, so the linger rarely adds latency beyond
+    the scan itself)."""
+
+    def __init__(self, fn, max_batch: int = 64, linger_ms: float = 4.0):
+        import queue
+
+        self.fn = fn                      # fn(key, [item]) -> [result]
+        self.queue: "queue.Queue" = queue.Queue()
+        self.max_batch = max(1, max_batch)
+        self.linger = max(0.0, linger_ms) / 1e3
+        t = threading.Thread(target=self._loop, daemon=True,
+                             name="search-microbatcher")
+        t.start()
+
+    def submit(self, key, item):
+        from concurrent.futures import Future
+
+        fut: Future = Future()
+        self.queue.put((key, item, fut))
+        return fut
+
+    def _loop(self):
+        import queue as _q
+
+        while True:
+            key, item, fut = self.queue.get()
+            batch = [(item, fut)]
+            deadline = time.time() + self.linger
+            while len(batch) < self.max_batch:
+                timeout = deadline - time.time()
+                if timeout <= 0:
+                    break
+                try:
+                    k2, i2, f2 = self.queue.get(timeout=timeout)
+                except _q.Empty:
+                    break
+                if k2 != key:  # different options: defer to the next batch
+                    self.queue.put((k2, i2, f2))
+                    break
+                batch.append((i2, f2))
+            try:
+                results = self.fn(key, [b[0] for b in batch])
+                for (_, f), r in zip(batch, results):
+                    f.set_result(r)
+            except BaseException as e:  # noqa: BLE001 - propagate to callers
+                for _, f in batch:
+                    f.set_exception(e)
+
+
 class SearchService:
     """Resident models + database + search pipeline."""
 
@@ -44,7 +103,8 @@ class SearchService:
     def __init__(self, db_name: str, mesh=None, precision: str = "bf16",
                  weights: str | None = None, merizo_weights: str | None = None,
                  tmalign_backend: str = "auto", search_index: str = "flat",
-                 nprobe: int = 32, nlist: int = 0):
+                 nprobe: int = 32, nlist: int = 0,
+                 max_batch: int = 64, batch_window_ms: float = 4.0):
         import jax.numpy as jnp
 
         from .db.codecs import FlatDB
@@ -63,7 +123,11 @@ class SearchService:
         self.tmalign_backend = tmalign_backend
         self.started = time.time()
         self.n_requests = 0
+        self.n_batches = 0
         self._lock = threading.Lock()
+        self._batcher = (MicroBatcher(self._run_search_batch, max_batch,
+                                      batch_window_ms)
+                         if max_batch > 1 else None)
         if self.engine.mode == "device":
             self.engine._load_resident()   # pay DB residency once, at boot
         self._warmup()
@@ -130,22 +194,38 @@ class SearchService:
             return d
         raise ValueError("request needs 'pdb' or 'coords'")
 
-    def search(self, body: dict) -> dict:
+    def _opts_key(self, body: dict) -> tuple:
+        return (self._clamp_k(body),
+                float(body.get("mincos", 0.5)),
+                float(body.get("mintm", 0.5)),
+                float(body.get("mincov", 0.7)),
+                bool(body.get("fastmode", False)),
+                bool(body.get("skip_tmalign", False)))
+
+    def _run_search_batch(self, key: tuple, queries: list[dict]) -> list[dict]:
         from .pipeline.dbsearch import run_dbsearch
 
-        q = self._query_struct(body)
+        k, mincos, mintm, mincov, fastmode, skip_tmalign = key
         results, _ = run_dbsearch(
-            [q], db_name=None, engine=self.engine, params=self.fc_params,
-            topk=self._clamp_k(body),
-            mincos=float(body.get("mincos", 0.5)),
-            mintm=float(body.get("mintm", 0.5)),
-            mincov=float(body.get("mincov", 0.7)),
-            fastmode=bool(body.get("fastmode", False)),
-            skip_tmalign=bool(body.get("skip_tmalign", False)),
+            queries, db_name=None, engine=self.engine, params=self.fc_params,
+            topk=k, mincos=mincos, mintm=mintm, mincov=mincov,
+            fastmode=fastmode, skip_tmalign=skip_tmalign,
             inputs_are_ca=True, tmalign_backend=self.tmalign_backend)
         with self._lock:
+            self.n_batches += 1
+        return [{"hits": [_hit_json(rank, h) for rank, h in r.items()]}
+                for r in results]
+
+    def search(self, body: dict) -> dict:
+        q = self._query_struct(body)
+        key = self._opts_key(body)
+        if self._batcher is not None:
+            out = self._batcher.submit(key, q).result()
+        else:
+            out = self._run_search_batch(key, [q])[0]
+        with self._lock:
             self.n_requests += 1
-        return {"hits": [_hit_json(rank, h) for rank, h in results[0].items()]}
+        return out
 
     def easy_search(self, body: dict) -> dict:
         from .pipeline.dbsearch import run_dbsearch
@@ -192,6 +272,7 @@ class SearchService:
             "mode": self.engine.mode,
             "uptime_s": round(time.time() - self.started, 1),
             "requests": self.n_requests,
+            "search_batches": self.n_batches,
             "phase_timings": {k: {"seconds": round(s, 4), "calls": c}
                               for k, (s, c) in profiling.timings().items()},
         }

@@ -98,3 +98,49 @@ def test_stats(running_server):
     assert s["db_size"] == 5
     assert s["requests"] >= 2
     assert "db_scan" in s["phase_timings"]
+
+
+@pytest.fixture(scope="module")
+def service_db(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("batchdb")
+    rng = np.random.default_rng(1)
+    from merizo_search_tpu.pipeline.embed import load_foldclass_params, embed_structures
+
+    params = load_foldclass_params(None)
+    coords = [np.cumsum(rng.normal(size=(60 + 10 * i, 3)) * 1.8, axis=0)
+              .astype(np.float32) for i in range(6)]
+    embs = embed_structures(params, coords)
+    entries = [(f"t{i}", c, "A" * len(c)) for i, c in enumerate(coords)]
+    prefix = str(tmp / "db")
+    codecs.write_pt_db(prefix, embs, entries)
+    return prefix, coords
+
+
+def test_concurrent_searches_microbatch(service_db):
+    """Concurrent /search requests with identical options coalesce into
+    fewer engine dispatches (dynamic micro-batching) and return exactly the
+    per-query results a serial run would."""
+    from merizo_search_tpu.server import SearchService
+
+    prefix, coords_list = service_db
+    svc = SearchService(prefix, precision="fp32", max_batch=8,
+                        batch_window_ms=50.0)
+    bodies = [{"coords": c.tolist(), "k": 3, "skip_tmalign": True}
+              for c in coords_list[:6]]
+    serial = [svc.search(dict(b)) for b in bodies]
+    base_batches = svc.n_batches
+
+    results = [None] * len(bodies)
+    def worker(i):
+        results[i] = svc.search(dict(bodies[i]))
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(len(bodies))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert results == serial
+    # 6 concurrent requests with a 50ms window: strictly fewer batches
+    # than requests proves coalescing happened
+    assert svc.n_batches - base_batches < len(bodies)
+    assert svc.n_requests == 2 * len(bodies)
