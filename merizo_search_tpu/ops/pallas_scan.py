@@ -334,10 +334,11 @@ def gather_block_scores(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
     pipeline DMAs exactly the selected 32 KB block slabs from HBM —
     a gather at near-streaming bandwidth instead of XLA's per-slice take.
 
-    int8 path: blocks (and q) hold integers in [-127,127]; casting them to
-    bf16 is exact, MXU products of such integers are formed exactly and
-    accumulated in fp32 (sums < 2^24), so the recomputed integer dot equals
-    phase A's int32 MXU result bit-for-bit before the scale multiply.
+    int8 path: the dot runs natively int8 -> int32 on the MXU (casting the
+    blocks to bf16 instead forces a (32,128)->(16,128) tiling relayout per
+    step that costs more than the whole gather), so the recomputed integer
+    dot equals phase A's int32 MXU result bit-for-bit before the scale
+    multiply.
     """
     qp, d = q.shape
     nb = db.shape[0] // BLOCK
@@ -371,16 +372,21 @@ def gather_block_scores(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
         db_vals = [rest[gg][:].reshape(BLOCK, d) for gg in range(g)]
         i, j = pl.program_id(0), pl.program_id(1)
         blocks = jnp.concatenate(db_vals, axis=0)                # [g*BLOCK, D]
-        if quantized:
-            blocks = blocks.astype(jnp.bfloat16)                 # exact ints
         # extract query row i without a dynamic sublane slice (Mosaic needs
         # statically aligned slices): one-hot mask + sum over the tiny q block
         rows = jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[0], 1), 0)
-        q_row = jnp.sum(jnp.where(rows == i, q_ref[:], 0).astype(jnp.float32),
-                        axis=0, keepdims=True).astype(blocks.dtype)  # [1, D]
-        s = jax.lax.dot_general(
-            q_row, blocks, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)                  # [1, g*BLOCK]
+        if quantized:
+            q_row = jnp.sum(jnp.where(rows == i, q_ref[:], 0).astype(jnp.int32),
+                            axis=0, keepdims=True).astype(jnp.int8)  # [1, D]
+            s = jax.lax.dot_general(
+                q_row, blocks, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+        else:
+            q_row = jnp.sum(jnp.where(rows == i, q_ref[:], 0).astype(jnp.float32),
+                            axis=0, keepdims=True).astype(blocks.dtype)  # [1, D]
+            s = jax.lax.dot_general(
+                q_row, blocks, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)              # [1, g*BLOCK]
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
         cols = jnp.concatenate(
             [bidx_ref[i, j * g + gg] * BLOCK + lane for gg in range(g)], axis=1)
@@ -490,7 +496,7 @@ def fused_topk(q, db, n_valid, k, tlen=None, qlen=None, mincov=0.0,
     # gather at streaming bandwidth) and take the final exact top-k.
     kbp = ((kb + GATHER_G - 1) // GATHER_G) * GATHER_G
     bidx = jnp.pad(bidx, ((0, 0), (0, kbp - kb)), constant_values=-1)
-    qc = q.astype(jnp.bfloat16) if scales is not None else q
+    qc = q  # int8 queries stay int8: the gather kernel runs the native int8 MXU dot
     scores = gather_block_scores(qc, db, tl.reshape(nb, BLOCK), qcap, bidx,
                                  n_valid, use_len=use_len, interpret=interpret,
                                  scales=scales)
