@@ -146,15 +146,77 @@ def reference_cpu_qps():
     return 1.0 / per_query_full_db
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: repeat bench runs skip the ~2 min
+    of kernel compiles (and driver runs reuse interactive-session compiles)."""
+    try:
+        import os
+
+        import jax
+
+        cache_dir = os.environ.get(
+            "MERIZO_TPU_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "merizo_tpu", "jax"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:
+        print(f"# compile cache disabled: {e}", file=sys.stderr)
+
+
+def cpu_fallback_qps():
+    """Small-scale CPU measurement of the same engine scan, clearly labelled,
+    so a TPU/tunnel outage (e.g. a libtpu version mismatch) still yields a
+    recorded benchmark instead of nothing. Runs in a scrubbed subprocess so
+    a half-initialised TPU backend in this process can't poison it."""
+    import os
+    import subprocess
+
+    code = r"""
+import sys, time, json
+import numpy as np
+sys.path.insert(0, "/root/repo")
+import jax.numpy as jnp
+from merizo_search_tpu.ops.topk import topk_scan
+n, d, q = 1 << 20, 128, 64
+rng = np.random.default_rng(0)
+db = jnp.asarray(rng.standard_normal((n, d), dtype=np.float32))
+qq = jnp.asarray(rng.standard_normal((q, d), dtype=np.float32))
+v, i = topk_scan(qq, db, n, 100, 1 << 18)
+v.block_until_ready()
+t0 = time.perf_counter()
+for _ in range(3):
+    v, i = topk_scan(qq, db, n, 100, 1 << 18)
+    v.block_until_ready()
+t = (time.perf_counter() - t0) / 3
+print(json.dumps({"qps": q / t * (n / (1 << 24))}))
+"""
+    env = {k: v for k, v in os.environ.items()
+           if not (k.startswith(("TPU", "LIBTPU", "CLOUD_TPU", "PJRT"))
+                   or k in ("JAX_PLATFORMS", "JAX_PLATFORM_NAME", "XLA_FLAGS"))}
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run([sys.executable, "-c", code], env=env,
+                       capture_output=True, text=True, timeout=600)
+    return json.loads(r.stdout.strip().splitlines()[-1])["qps"]
+
+
 def main():
-    qps, recall = tpu_qps()
+    _enable_compile_cache()
+    try:
+        qps, recall = tpu_qps()
+        metric = f"exact_search_qps_{DB_N//(1<<20)}M_db_k{K}"
+    except Exception as e:
+        print(f"# TPU bench failed ({type(e).__name__}: {str(e)[:300]}); "
+              f"falling back to a CPU-scaled measurement", file=sys.stderr)
+        qps = cpu_fallback_qps()
+        metric = f"exact_search_qps_{DB_N//(1<<20)}M_db_k{K}_CPU_FALLBACK"
     try:
         base = reference_cpu_qps()
     except Exception as e:
         print(f"# baseline measurement failed: {e}", file=sys.stderr)
         base = None
     out = {
-        "metric": f"exact_search_qps_{DB_N//(1<<20)}M_db_k{K}",
+        "metric": metric,
         "value": round(qps, 2),
         "unit": "queries/s",
         "vs_baseline": round(qps / base, 2) if base else None,
