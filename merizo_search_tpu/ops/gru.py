@@ -24,7 +24,11 @@ import numpy as np
 
 def gru_cell(x_t, h, wi, wh, bi, bh):
     """One GRU step. x_t [B,I], h [B,H]; wi [I,3H], wh [H,3H]."""
-    gi = x_t @ wi + bi
+    return _gru_cell_pre(x_t @ wi + bi, h, wh, bh)
+
+
+def _gru_cell_pre(gi, h, wh, bh):
+    """GRU step with the input projection gi = x_t @ wi + bi precomputed."""
     gh = h @ wh + bh
     i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
     h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
@@ -35,17 +39,23 @@ def gru_cell(x_t, h, wi, wh, bi, bh):
 
 
 def _scan_dir(x, mask, wi, wh, bi, bh):
-    """Masked unidirectional scan. x [B,T,I], mask [B,T] -> (out [B,T,H], h_T)."""
+    """Masked unidirectional scan. x [B,T,I], mask [B,T] -> (out [B,T,H], h_T).
+
+    The input projections for ALL timesteps run as one batched MXU matmul
+    before the scan; only the inherently sequential recurrent product stays
+    inside, halving the sequential critical path."""
     b = x.shape[0]
     h0 = jnp.zeros((b, wh.shape[0]), x.dtype)
+    gi_all = x @ wi + bi                                  # [B,T,3H]
 
     def step(h, inp):
-        x_t, m_t = inp
-        h_new = gru_cell(x_t, h, wi, wh, bi, bh)
+        gi_t, m_t = inp
+        h_new = _gru_cell_pre(gi_t, h, wh, bh)
         h = m_t[:, None] * h_new + (1.0 - m_t[:, None]) * h
         return h, h
 
-    hT, outs = jax.lax.scan(step, h0, (jnp.moveaxis(x, 0, 1), jnp.moveaxis(mask, 0, 1)))
+    hT, outs = jax.lax.scan(
+        step, h0, (jnp.moveaxis(gi_all, 0, 1), jnp.moveaxis(mask, 0, 1)))
     return jnp.moveaxis(outs, 0, 1), hT
 
 
