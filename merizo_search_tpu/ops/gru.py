@@ -59,6 +59,51 @@ def _scan_dir(x, mask, wi, wh, bi, bh):
     return jnp.moveaxis(outs, 0, 1), hT
 
 
+SCAN_UNROLL = 8  # while-loop iteration overhead dominates the tiny recurrent
+                 # matmul; unrolling cuts the trip count 8x
+
+
+def _scan_bidir(x, mask, layer):
+    """Both directions in ONE direction-batched scan.
+
+    The fwd and reverse scans are independent, so they run as a single
+    lax.scan over direction-stacked tensors ([2, B, ...], per-direction
+    weights applied with a batched einsum) — half the sequential while
+    loops, and the per-step matmul is twice as large (better MXU shape).
+    Returns (out [B,T,2H], h_last_reverse [B,H])."""
+    b = x.shape[0]
+    xs = jnp.stack([x, jnp.flip(x, axis=1)])              # [2,B,T,I]
+    ms = jnp.stack([mask, jnp.flip(mask, axis=1)])        # [2,B,T]
+    wi = jnp.stack([layer["wi_f"], layer["wi_b"]])        # [2,I,3H]
+    wh = jnp.stack([layer["wh_f"], layer["wh_b"]])        # [2,H,3H]
+    bi = jnp.stack([layer["bi_f"], layer["bi_b"]])        # [2,3H]
+    bh = jnp.stack([layer["bh_f"], layer["bh_b"]])
+    hdim = wh.shape[1]
+    # input projections for all steps: one batched MXU matmul
+    gi_all = jnp.einsum("dbti,dik->dbtk", xs, wi) + bi[:, None, None, :]
+    h0 = jnp.zeros((2, b, hdim), x.dtype)
+
+    def step(h, inp):
+        gi_t, m_t = inp                                   # [2,B,3H], [2,B]
+        gh = jnp.einsum("dbh,dhk->dbk", h, wh) + bh[:, None, :]
+        i_r, i_z, i_n = jnp.split(gi_t, 3, axis=-1)
+        h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+        r = jax.nn.sigmoid(i_r + h_r)
+        z = jax.nn.sigmoid(i_z + h_z)
+        n = jnp.tanh(i_n + r * h_n)
+        h_new = (1.0 - z) * n + z * h
+        h = m_t[..., None] * h_new + (1.0 - m_t[..., None]) * h
+        return h, h
+
+    hT, outs = jax.lax.scan(step, h0,
+                            (jnp.moveaxis(gi_all, 2, 0),  # [T,2,B,3H]
+                             jnp.moveaxis(ms, 2, 0)),
+                            unroll=SCAN_UNROLL)
+    outs = jnp.moveaxis(outs, 0, 2)                       # [2,B,T,H]
+    out = jnp.concatenate([outs[0], jnp.flip(outs[1], axis=1)], axis=-1)
+    return out, hT[1]
+
+
 def bigru(params: list[dict], x, mask):
     """Bidirectional multi-layer GRU.
 
@@ -71,15 +116,8 @@ def bigru(params: list[dict], x, mask):
     """
     out = x
     h_rev_last = None
-    xr_mask = jnp.flip(mask, axis=1)
     for layer in params:
-        fwd, _ = _scan_dir(out, mask, layer["wi_f"], layer["wh_f"],
-                           layer["bi_f"], layer["bh_f"])
-        xr = jnp.flip(out, axis=1)
-        bwd_r, h_rev_last = _scan_dir(xr, xr_mask, layer["wi_b"], layer["wh_b"],
-                                      layer["bi_b"], layer["bh_b"])
-        bwd = jnp.flip(bwd_r, axis=1)
-        out = jnp.concatenate([fwd, bwd], axis=-1)
+        out, h_rev_last = _scan_bidir(out, mask, layer)
     return out, h_rev_last
 
 
