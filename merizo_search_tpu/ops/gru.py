@@ -59,7 +59,7 @@ def _scan_dir(x, mask, wi, wh, bi, bh):
     return jnp.moveaxis(outs, 0, 1), hT
 
 
-SCAN_UNROLL = 8  # while-loop iteration overhead dominates the tiny recurrent
+SCAN_UNROLL = 8   # while-loop iteration overhead dominates the tiny recurrent
                  # matmul; unrolling cuts the trip count 8x
 
 
