@@ -215,4 +215,6 @@ def load_merizo_params(weights_dir: str | None = None):
                 sd.update(torch.load(os.path.join(weights_dir, f), map_location="cpu"))
         if sd:
             return params_from_torch_state_dict(sd)
-    return init_params(jax.random.PRNGKey(0))
+    # jit the init: eager init dispatches dozens of one-off device programs
+    # (minutes through a remote-TPU tunnel); one compile builds the tree
+    return jax.jit(init_params)(jax.random.PRNGKey(0))

@@ -32,7 +32,7 @@ def load_foldclass_params(weights_path: str | None = None):
         if hasattr(sd, "state_dict"):
             sd = sd.state_dict()
         return fc.params_from_torch_state_dict(sd)
-    return fc.init_params(jax.random.PRNGKey(0))
+    return jax.jit(fc.init_params)(jax.random.PRNGKey(0))
 
 
 def _batch_budget(bucket: int) -> int:
