@@ -15,6 +15,17 @@ Phase B (XLA, tiny): exact top-k *blocks* per query from BM. Cover argument:
     then >= k blocks would each hold an element larger than it — so taking
     the k best blocks by max is an exact cover of the true top-k elements.
 
+    Row-validity (db rows >= n_valid are padding) is enforced here, NOT in
+    phase A: masking per-score in the kernel costs a full VPU pass over the
+    [tile, qt] score block — as much as the max reduction itself — so the
+    kernel reduces unmasked scores and masks only the [qt, nbt] *block maxima*
+    (1/128th the work). Fully-padded blocks are exactly masked; the single
+    block straddling n_valid may carry an inflated max (padding rows are
+    normally zeros, but any value is safe), which can displace at most one
+    true block from the selection. Phase B therefore selects the top-(k+1)
+    blocks and force-includes the straddling block; phase C masks padded rows
+    exactly. The same argument applies one level up for superblock selection.
+
 Phase C (XLA): gather those k blocks' rows (k*128 candidates per query),
     recompute their scores (same single-pass 128-deep MXU contraction as
     phase A, so values agree), mask, and take the final exact top-k.
@@ -26,6 +37,7 @@ DBs; ops/topk.topk_scan remains the general fallback (fp32 DBs, CPU tests).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -71,33 +83,37 @@ def _bm_kernel(nv_ref, q_ref, db_ref, tlen_ref, qcap_ref, *rest, tile,
         (bm_ref, sbm_ref) = rest
     nbt = tile // BLOCK
     step = pl.program_id(0)
-    # row r of this tile = block a, offset b (r = a*BLOCK + b); sidecars
-    # (tlen, scales) arrive pre-shaped [*, BLOCK] lane-major — a [tile, 1]
-    # layout would tile to (8,128) vregs and DMA ~128x padding
-    ai = jax.lax.broadcasted_iota(jnp.int32, (nbt, BLOCK, 1), 0)
-    bi = jax.lax.broadcasted_iota(jnp.int32, (nbt, BLOCK, 1), 1)
-    row_valid = step * tile + ai * BLOCK + bi < nv_ref[0]  # [nbt, BLOCK, 1]
+    # Row-validity is enforced at BLOCK granularity (see module docstring):
+    # a block is kept iff it contains any valid row. This replaces a full
+    # [tile, qt] where-pass over the scores — the single largest VPU cost of
+    # the old kernel — with a [1, nbt] mask on the block maxima. The one
+    # straddling block's max may be inflated by padding rows; phase B
+    # compensates exactly. Sidecars (tlen, scales) arrive pre-shaped
+    # [*, BLOCK] lane-major — a [tile, 1] layout would tile to (8,128) vregs
+    # and DMA ~128x padding.
+    gb = step * nbt + jax.lax.broadcasted_iota(jnp.int32, (1, nbt), 1)
+    blk_valid = gb * BLOCK < nv_ref[0]                   # [1, nbt]
     nqt = q_ref.shape[0] // qt
     for j in range(nqt):                                 # static unroll
         qtile = q_ref[j * qt:(j + 1) * qt, :]
         if quantized:
-            # int8 MXU path. Scales are block-uniform (quantize_blocks), so
-            # the int32 block max commutes with dequantisation: reduce raw
-            # int32 scores and scale only the [nbt, qt] maxima — a per-row
-            # multiply over the full score block costs ~2.8x the whole scan.
-            # Masked entries get an int sentinel far below any real score
+            # int8 MXU path. Scales are block-uniform (quantize_blocks — NOT
+            # quantize_rows; see the blockmax_scan docstring), so the int32
+            # block max commutes with dequantisation: reduce raw int32 scores
+            # and scale only the [nbt, qt] maxima — a per-row multiply over
+            # the full score block costs ~2.8x the whole scan. Length-masked
+            # entries get an int sentinel far below any real score
             # (|score| <= 127*127*128 ~ 2.1e6 << 2^31).
             s = jax.lax.dot_general(
                 db_ref[:], qtile,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.int32)        # [tile, qt]
             s = s.reshape(nbt, BLOCK, qt)
-            sentinel = jnp.int32(-(2 ** 31) + 1)
             if use_len:
+                sentinel = jnp.int32(-(2 ** 31) + 1)
                 mask = (tlen_ref[:].reshape(nbt, BLOCK, 1)
                         <= qcap_ref[0:1, j * qt:(j + 1) * qt].reshape(1, 1, qt))
                 s = jnp.where(mask, s, sentinel)
-            s = jnp.where(row_valid, s, sentinel)
             bmt = (jnp.max(s, axis=1).astype(jnp.float32)
                    * rs_ref[:, 0:1]).T                   # [qt, nbt]
         else:
@@ -112,16 +128,14 @@ def _bm_kernel(nv_ref, q_ref, db_ref, tlen_ref, qcap_ref, *rest, tile,
                 mask = (tlen_ref[:].reshape(nbt, BLOCK, 1)
                         <= qcap_ref[0:1, j * qt:(j + 1) * qt].reshape(1, 1, qt))
                 s = jnp.where(mask, s, float("-inf"))
-
-            # NOTE: row-validity is masked unconditionally — a pl.when branch
-            # to skip it on full tiles breaks Mosaic's software pipeline and
-            # costs 4x; the extra where-pass costs ~5%.
-            s = jnp.where(row_valid, s, float("-inf"))
-            # clamp block maxima to a finite floor: keeps -inf out of BM so
-            # the phase-B one-hot gather needs no NaN-guard pass over the
-            # full matrix (selection order is unchanged; exact -inf scores
-            # are restored by the phase-C rescore)
-            bmt = jnp.maximum(jnp.max(s, axis=1), jnp.float32(-3.4e38)).T
+            bmt = jnp.max(s, axis=1).T                   # [qt, nbt]
+        # block-validity mask + finite clamp on the tiny [qt, nbt] maxima:
+        # fully-padded blocks go to a -3.4e38 floor (selection-only value —
+        # keeps -inf out of BM so phase B's one-hot gathers need no NaN
+        # guard; exact -inf for masked rows is restored by the phase-C
+        # rescore), and bf16 tlen-masked -inf maxima are clamped likewise.
+        bmt = jnp.where(blk_valid, jnp.maximum(bmt, jnp.float32(-3.4e38)),
+                        jnp.float32(-3.4e38))
         if len(bm_ref.shape) == 3:
             bm_ref[0, j * qt:(j + 1) * qt, :] = bmt      # unaligned-tile path
         else:
@@ -146,12 +160,18 @@ def blockmax_scan(q, db, n_valid, tlen, qcap, tile=DEFAULT_TILE,
                   use_len=False, interpret=False, scales=None):
     """Phase A. q [Qp,D] (same dtype as db), db [Npad,D] with Npad % tile == 0,
     tlen [Npad] f32 target lengths, qcap [Qp] f32 = qlen/mincov.
-    scales [Npad] f32: per-row dequantisation scales for int8 DBs.
+    scales [Npad] f32: dequantisation scales for int8 DBs. REQUIRED to be
+    block-uniform (one shared scale per 128-row block, i.e. produced by
+    `quantize_blocks`, not `quantize_rows`): the kernel reduces raw int32
+    scores and dequantises only the block maxima with each block's first
+    row's scale, so per-row scales would silently corrupt phase B's block
+    selection.
     Returns (BM [Qp, Npad/BLOCK], SBM [Qp, Npad/tile]) f32 block / superblock
-    maxima. Entries are always finite: bf16 maxima are clamped to a -3.4e38
-    floor and int8 masked blocks carry sentinel*scale, so masked blocks are
-    merely "very negative" — selection-only values; exact -inf for masked
-    rows is restored by the phase-C rescore."""
+    maxima. Entries are always finite (clamped to a -3.4e38 floor) —
+    selection-only values; exact -inf for masked rows is restored by the
+    phase-C rescore. Row-validity (rows >= n_valid) is masked at block
+    granularity only: the one block straddling n_valid may carry an inflated
+    max, which `fused_topk` compensates for exactly (module docstring)."""
     qn, d = q.shape
     npad = db.shape[0]
     quantized = scales is not None
@@ -248,31 +268,72 @@ def quantize_blocks(x: np.ndarray, block: int = BLOCK):
 
 
 SUB = 8  # minimum subblock width for the recursive cover select
+NEG_CAP = jnp.float32(-3.4e38)  # finite stand-in for -inf during selection
 
 
-def _topk_entries(x, k):
-    """Exact top-k entries of x [Q, W] -> (vals [Q,k], idx [Q,k] i32).
+def _best_factor(n: int, cap: int = 8192) -> int:
+    """Largest divisor a of n with a <= sqrt(n)-ish, for two-level one-hot
+    factorisation. Returns 1 if n is prime-ish (caller falls back)."""
+    best = 1
+    a = int(np.sqrt(n))
+    while a > 1:
+        if n % a == 0:
+            best = a
+            break
+        a -= 1
+    return best
+
+
+def _gather_subblocks(sb, sbi):
+    """out[q, k, :] = sb[q, sbi[q, k], :] for finite f32 sb [Q, nsb, sub].
+
+    XLA lowers per-element dynamic gathers to ~10ns/element scalar loops, so
+    gathers ride the MXU as one-hot matmuls instead. A flat one-hot operand
+    is [Q, k, nsb] — at nsb ~ thousands that materialises hundreds of MB per
+    call — so wide gathers are factorised: with nsb = A*B, gather the A-level
+    row group with a [Q, k, A] one-hot matmul, then pick the B-level slot
+    with a [Q, k, B] elementwise select, shrinking operand traffic ~nsb/(A+B)x.
+    fp32 one-hot products are bit-exact for finite values."""
+    qn, nsb, sub = sb.shape
+    kk = sbi.shape[1]
+    a = _best_factor(nsb) if nsb >= 1024 else 1
+    if a > 1:
+        b = nsb // a
+        hi, lo = sbi // b, sbi % b
+        ohh = (hi[:, :, None] == jnp.arange(a)[None, None, :]).astype(jnp.float32)
+        t = jnp.einsum("qka,qac->qkc", ohh, sb.reshape(qn, a, b * sub),
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        ohl = (lo[:, :, None] == jnp.arange(b)[None, None, :]).astype(jnp.float32)
+        return jnp.sum(t.reshape(qn, kk, b, sub) * ohl[:, :, :, None], axis=2)
+    onehot = (sbi[:, :, None] == jnp.arange(nsb)[None, None, :]).astype(jnp.float32)
+    return jnp.einsum("qkb,qbc->qkc", onehot, sb,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _topk_finite(x, k):
+    """Exact top-k of FINITE f32 x [Q, W] (callers clamp -inf to NEG_CAP).
 
     lax.top_k is a full sort (~40x the cost of a max-reduce at W ~ 1e4), so
     wide rows are reduced first with the subblock cover: group W into
     SUB-wide subblocks, find the top-k subblocks by max (recursively), and
     sort only those k*SUB candidates. Same exactness argument as the block
     cover in the module docstring. Measured ~6x faster than direct lax.top_k
-    at W=12800, k=100.
-    """
+    at W=12800, k=100."""
     qn, w = x.shape
     if w <= max(2 * k, 256) or w % 8:
         kk = min(k, w)
         v, i = jax.lax.top_k(x, kk)
         if kk < k:
-            v = jnp.pad(v, ((0, 0), (0, k - kk)), constant_values=-jnp.inf)
+            v = jnp.pad(v, ((0, 0), (0, k - kk)), constant_values=NEG_CAP)
             i = jnp.pad(i, ((0, 0), (0, k - kk)))
         return v, i.astype(jnp.int32)
     # adaptive subblock width: smallest power-of-two sub (>=8) that still
     # leaves nsb > 2k subblocks (so the cover shrinks the row), widened while
-    # nsb > 4096 so the [Q, k, nsb] one-hot operand stays bounded
+    # nsb > 16384 so the max-reduce output stays a meaningful reduction
     sub = 8
-    while w % (sub * 2) == 0 and w // (sub * 2) > 2 * k and w // sub > 4096:
+    while w % (sub * 2) == 0 and w // (sub * 2) > 2 * k and w // sub > 16384:
         sub *= 2
     nsb = w // sub
     if nsb <= 2 * k:  # no meaningful reduction left: sort directly
@@ -281,18 +342,9 @@ def _topk_entries(x, k):
     sb = x.reshape(qn, nsb, sub)
     sm = jnp.max(sb, axis=-1)                            # [Q, nsb]
     kk = min(k, nsb)
-    _, sbi = _topk_entries(sm, kk)                       # cover subblocks
-    # gather the covered subblocks with a one-hot MXU matmul (XLA lowers
-    # per-element dynamic gathers to ~10ns/element scalar loops). One-hot
-    # rows select exactly, and HIGHEST precision keeps fp32 values bit-exact;
-    # the einsum is tiny (k x nsb x sub).
-    onehot = (sbi[:, :, None] == jnp.arange(nsb)[None, None, :]).astype(jnp.float32)
-    sbf = jnp.where(jnp.isfinite(sb), sb, jnp.float32(-3.4e38))  # -inf*0 = nan
-    cand = jnp.einsum("qkb,qbc->qkc", onehot, sbf,
-                      preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
-    cand = jnp.where(cand <= -3.0e38, -jnp.inf, cand)
-    v, sel = _topk_entries(cand.reshape(qn, kk * sub), k)
+    _, sbi = _topk_finite(sm, kk)                        # cover subblocks
+    cand = _gather_subblocks(sb, sbi)                    # [Q, kk, sub]
+    v, sel = _topk_finite(cand.reshape(qn, kk * sub), k)
     # map local candidate position -> source column arithmetically:
     # sel = (picked subblock slot) * sub + offset, so gather only the kk
     # subblock ids (one-hot matmul again — NOT take_along_axis)
@@ -300,6 +352,17 @@ def _topk_entries(x, k):
     src_sb = _gather_int(sbi, slot)
     idx = src_sb * sub + sel % sub
     return v, idx.astype(jnp.int32)
+
+
+def _topk_entries(x, k):
+    """Exact top-k entries of x [Q, W] -> (vals [Q,k], idx [Q,k] i32).
+
+    Clamps -inf inputs to a finite floor once, runs the finite-domain
+    recursive cover select (`_topk_finite` — no per-level NaN guards), and
+    restores -inf in the returned values."""
+    x = jnp.where(jnp.isfinite(x), x, NEG_CAP)
+    v, i = _topk_finite(x, k)
+    return jnp.where(v <= -3.0e38, -jnp.inf, v), i
 
 
 def _gather_int(src, sel):
@@ -317,7 +380,151 @@ def _gather_int(src, sel):
     return out.astype(jnp.int32)
 
 
-GATHER_G = 25  # blocks gathered per grid step (25 | 100 = default k: no padding)
+GATHER_G = 25  # retained for callers that pre-pad bidx; gather_block_scores
+               # itself now picks the group size per kb (see _pick_gather_g)
+
+
+@partial(jax.jit, static_argnames=("use_len", "quantized"))
+def gather_block_scores_dma(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
+                            quantized=False, scales2d=None):
+    """Phase C gather with kernel-managed DMA (TPU only; see
+    gather_block_scores for the BlockSpec variant used in interpret mode).
+
+    One grid step per query: all KB selected 128-row block slabs are
+    async-copied from HBM into ONE contiguous VMEM scratch (double-buffered
+    across queries, so query i+1's ~100 DMAs fly while query i computes),
+    then scored with a single MXU dot. Compared to the BlockSpec variant
+    this removes the per-group VMEM concat — which runs at byte granularity
+    for int8 and costs more than the DMA itself — and deepens the DMA queue
+    from one group (~34 copies) to the whole query (~100), hiding more of
+    the per-copy latency of small (16-32 KB) random reads.
+
+    q [Qp,D] (int8 when quantized else db dtype), db [Npad,D],
+    tlen2d [NB,BLOCK] f32, qcap [Qp] f32, bidx [Qp,KB] i32 (-1 = padding),
+    scales2d [NB,BLOCK] f32 (quantized only).
+    Returns scores [Qp, KB*BLOCK] f32, -inf where masked/padded."""
+    qp, d = q.shape
+    nb = db.shape[0] // BLOCK
+    kb = bidx.shape[1]
+    n_side = (1 if use_len else 0) + (1 if quantized else 0)
+
+    def kernel(bidx_ref, nv_ref, qcap_ref, q_ref, db_ref, *rest):
+        side_refs = rest[:n_side]            # tlen2d / scales2d (HBM)
+        out_ref = rest[n_side]
+        scratch = rest[n_side + 1]           # [2, KB*BLOCK, D] db dtype
+        side_s = rest[n_side + 2:n_side + 2 + n_side]  # [2, 1, KB*BLOCK] f32
+        sem = rest[-1 - n_side] if n_side else rest[-1]
+        side_sems = rest[len(rest) - n_side:] if n_side else ()
+        i = pl.program_id(0)
+
+        def issue(qi, sl):
+            def body(j, _):
+                b = jnp.maximum(bidx_ref[qi, j], 0)
+                pltpu.make_async_copy(
+                    db_ref.at[pl.ds(b * BLOCK, BLOCK), :],
+                    scratch.at[sl, pl.ds(j * BLOCK, BLOCK), :],
+                    sem.at[sl]).start()
+                for sx in range(n_side):
+                    pltpu.make_async_copy(
+                        side_refs[sx].at[pl.ds(b, 1), :],
+                        side_s[sx].at[sl, :, pl.ds(j * BLOCK, BLOCK)],
+                        side_sems[sx].at[sl]).start()
+                return _
+            jax.lax.fori_loop(0, kb, body, 0, unroll=True)
+
+        @pl.when(i == 0)
+        def _():
+            issue(0, 0)
+
+        @pl.when(i + 1 < qp)
+        def _():
+            issue(i + 1, (i + 1) % 2)
+
+        slot = i % 2
+
+        def wait_body(j, _):
+            pltpu.make_async_copy(
+                db_ref.at[pl.ds(0, BLOCK), :],
+                scratch.at[slot, pl.ds(0, BLOCK), :],
+                sem.at[slot]).wait()
+            for sx in range(n_side):
+                pltpu.make_async_copy(
+                    side_refs[sx].at[pl.ds(0, 1), :],
+                    side_s[sx].at[slot, :, pl.ds(0, BLOCK)],
+                    side_sems[sx].at[slot]).wait()
+            return _
+        jax.lax.fori_loop(0, kb, wait_body, 0, unroll=True)
+
+        blocks = scratch[slot]                                   # [KB*BLOCK, D]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[0], 1), 0)
+        if quantized:
+            q_row = jnp.sum(jnp.where(rows == i, q_ref[:], 0).astype(jnp.int32),
+                            axis=0, keepdims=True).astype(jnp.int8)
+            s = jax.lax.dot_general(
+                q_row, blocks, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+        else:
+            q_row = jnp.sum(jnp.where(rows == i, q_ref[:], 0).astype(jnp.float32),
+                            axis=0, keepdims=True).astype(blocks.dtype)
+            s = jax.lax.dot_general(
+                q_row, blocks, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)              # [1, KB*BLOCK]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
+        cols = jnp.concatenate(
+            [bidx_ref[i, j] * BLOCK + lane for j in range(kb)], axis=1)
+        mask = jnp.logical_and(cols >= 0, cols < nv_ref[0])      # bidx<0 = pad
+        sx = 0
+        if use_len:
+            mask = jnp.logical_and(mask, side_s[sx][slot] <= qcap_ref[i])
+            sx += 1
+        if quantized:
+            s = s * side_s[sx][slot]
+        out_ref[:] = jnp.where(mask, s, float("-inf")).reshape(1, 1, kb * BLOCK)
+
+    side_args, side_scratch, side_semst = [], [], []
+    if use_len:
+        side_args.append(tlen2d)
+        side_scratch.append(pltpu.VMEM((2, 1, kb * BLOCK), jnp.float32))
+        side_semst.append(pltpu.SemaphoreType.DMA((2,)))
+    if quantized:
+        side_args.append(scales2d)
+        side_scratch.append(pltpu.VMEM((2, 1, kb * BLOCK), jnp.float32))
+        side_semst.append(pltpu.SemaphoreType.DMA((2,)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(qp,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]        # q whole
+                 + [pl.BlockSpec(memory_space=pltpu.ANY)] * (1 + n_side),
+        out_specs=pl.BlockSpec((1, 1, kb * BLOCK), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((2, kb * BLOCK, d), db.dtype),
+                        *side_scratch,
+                        pltpu.SemaphoreType.DMA((2,)),
+                        *side_semst],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((qp, 1, kb * BLOCK), jnp.float32),
+    )(bidx, jnp.asarray([n_valid], jnp.int32), qcap, q, db, *side_args)
+    return out.reshape(qp, kb * BLOCK)
+
+
+_G_CAP = int(os.environ.get("MERIZO_GATHER_G_CAP", "34"))  # perf-tuning knob
+
+
+def _pick_gather_g(kb: int) -> int:
+    """Blocks gathered per grid step: the g in [8, cap] minimising padded
+    columns (ceil(kb/g)*g), ties to the larger g (deeper DMA pipelining)."""
+    if kb <= _G_CAP:
+        return kb
+    best, best_cost = 8, 1 << 30
+    for g in range(8, _G_CAP + 1):
+        cost = -(-kb // g) * g
+        if cost < best_cost or (cost == best_cost and g > best):
+            best, best_cost = g, cost
+    return best
 
 
 @partial(jax.jit, static_argnames=("use_len", "interpret"))
@@ -326,13 +533,19 @@ def gather_block_scores(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
     """Phase C gather: recompute masked scores of selected DB blocks.
 
     q [Qp,D], db [Npad,D], tlen2d [NB,BLOCK] f32, qcap [Qp] f32,
-    bidx [Qp,KB] i32 (KB % GATHER_G == 0; -1 entries are padding),
-    scales [Npad] f32 per-row dequant scales for int8 DBs (else None).
-    Returns scores [Qp, KB*BLOCK] f32, -inf where masked/padded.
+    bidx [Qp,KB] i32 (-1 entries are padding),
+    scales [Npad] f32 dequant scales for int8 DBs (else None) — block-uniform
+    per 128-row block (`quantize_blocks` layout), read per-row here so the
+    rescored values equal scale * int32-dot exactly.
+    Returns scores [Qp, KB_padded*BLOCK] f32 with KB_padded = ceil(KB/g)*g,
+    -inf where masked/padded.
 
     The scalar-prefetched bidx drives the BlockSpec index maps, so Mosaic's
     pipeline DMAs exactly the selected 32 KB block slabs from HBM —
     a gather at near-streaming bandwidth instead of XLA's per-slice take.
+    The g slabs are concatenated into one operand for a single MXU dot:
+    per-slab small dots measure ~3x slower (each int8 dot pays an operand
+    relayout that dwarfs the concat copy).
 
     int8 path: the dot runs natively int8 -> int32 on the MXU (casting the
     blocks to bf16 instead forces a (32,128)->(16,128) tiling relayout per
@@ -343,7 +556,11 @@ def gather_block_scores(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
     qp, d = q.shape
     nb = db.shape[0] // BLOCK
     kb = bidx.shape[1]
-    g = GATHER_G
+    g = _pick_gather_g(kb)
+    kbp = -(-kb // g) * g
+    if kbp != kb:
+        bidx = jnp.pad(bidx, ((0, 0), (0, kbp - kb)), constant_values=-1)
+        kb = kbp
     quantized = scales is not None
     dbb = db.reshape(nb, BLOCK, d)
 
@@ -429,10 +646,16 @@ def fused_topk(q, db, n_valid, k, tlen=None, qlen=None, mincov=0.0,
 
     q    [Q, D]  queries, same dtype as db (bf16 on the production path)
     db   [Npad, D], Npad % tile == 0, rows >= n_valid are padding
-    scales [Npad] f32: per-row dequant scales when db is int8-quantised.
-        The int8 scan halves HBM traffic and uses the 2x-rate int8 MXU
-        path; results are the exact top-k of the *quantised* scores
-        (cosine error ~ the 1/255 row quantisation step).
+    scales [Npad] f32: dequant scales when db is int8-quantised. MUST be
+        block-uniform — one shared scale per 128 consecutive rows, the
+        `quantize_blocks` layout (per-row `quantize_rows` output silently
+        corrupts phase B's block maxima; see blockmax_scan). The int8 scan
+        halves HBM traffic and uses the 2x-rate int8 MXU path; results are
+        the exact top-k of the *quantised* scores. Quantisation error: the
+        shared scale is set by the largest |entry| in the 128-row block, so
+        the per-entry step is max|block| / 127 — a few times the per-row
+        step when row norms vary within a block (recall vs the f32 scan is
+        measured in tests/test_pallas_scan.py::test_int8_block_scale_recall).
     Returns (scores [Q,k] f32, indices [Q,k] i32), descending; masked/padded
     entries carry -inf / -1.
     """
@@ -455,51 +678,84 @@ def fused_topk(q, db, n_valid, k, tlen=None, qlen=None, mincov=0.0,
         qcap = jnp.full((qp,), jnp.float32(np.inf))
 
     # Phase A: block maxima at HBM bandwidth
+    nsb_ = npad // tile
+    use_sb = nsb_ >= 2 * min(k + 1, nsb_) and nsb_ >= 2
     bm, sbm = blockmax_scan(q, db, n_valid, tl, qcap, tile=tile,
                             use_len=use_len, interpret=interpret,
                             scales=scales)  # [Qp, NB], [Qp, NSB]
 
-    # Phase B: exact top-k blocks per query. Superblock (= tile) maxima were
+    # Phase B: top blocks per query. Superblock (= tile) maxima were
     # computed in-kernel, so selection starts from SBM [Qp, NSB] and never
-    # re-reduces the big BM matrix: pick the top-k superblocks (same cover
+    # re-reduces the big BM matrix: pick the top superblocks (same cover
     # argument one level up), gather their BM rows with a one-hot MXU matmul
-    # (one streaming read of BM), then top-k blocks among those candidates.
+    # (one streaming read of BM), then top blocks among those candidates.
     # Chain of covers: a true top-k element's superblock must be selected
-    # (else k superblocks each hold a larger element), and within the
-    # candidate set its block must be selected (same argument on block maxima).
+    # (else enough superblocks each hold a larger element), and within the
+    # candidate set its block must be selected (same argument on block
+    # maxima). Row-validity: the kernel masks padding at block granularity
+    # only, so the block straddling n_valid may carry an inflated max. It
+    # can displace at most one true block (superblock) per level, so each
+    # level selects top-(k+1) and the straddling block is force-included
+    # (dedup'd to -1 if already selected, so no row is reported twice);
+    # phase C restores exact -inf for rows >= n_valid.
     nb = npad // BLOCK
     nbt = tile // BLOCK
     nsb = npad // tile
-    kb = min(k, nb)
-    if nsb >= 2 * min(k, nsb) and nsb >= 2:
-        ksb = min(k, nsb)
-        _, sbi = _topk_entries(sbm, ksb)                 # [Qp, ksb] tile ids
+    straddle = jnp.minimum(jnp.asarray(n_valid, jnp.int32) // BLOCK, nb - 1)
+    kb = min(k + 1, nb)
+    if use_sb:
+        ksb = min(k + 1, nsb)
+        _, sbi = _topk_finite(sbm, ksb)                  # [Qp, ksb] tile ids
+        ssb = straddle // nbt
+        sbi = jnp.where(sbi == ssb, -1, sbi)             # dedup marker
+        sbi = jnp.concatenate(
+            [sbi, jnp.broadcast_to(ssb, (qp, 1))], axis=1)  # [Qp, ksb+1]
         # gather the selected superblocks' BM slabs with a one-hot MXU
-        # matmul — the only re-read of BM (take_along_axis instead forces a
-        # full-BM relayout copy before XLA's gather)
+        # matmul — the only re-read of BM. A pure-DMA Pallas slab gather
+        # moves 30x fewer bytes but measures 3x SLOWER at production shapes
+        # (~1 KB slab DMAs are latency-bound), while the one-hot contraction
+        # pays Q*k*NB MXU mults at full rate. BM is finite by construction
+        # (kernel clamps to -3.4e38) so no NaN guard is needed; dedup'd -1
+        # rows match no one-hot column (slab of zeros) and are floored below
+        # so they can never displace a real candidate.
         onehot = (sbi[:, :, None] == jnp.arange(nsb)[None, None, :]
                   ).astype(jnp.float32)
-        # BM is finite by construction (kernel clamps to -3.4e38), so the
-        # one-hot product needs no NaN guard
-        cand_bm = jnp.einsum("qks,qsb->qkb", onehot, bm.reshape(qp, nsb, nbt),
+        cand_bm = jnp.einsum("qks,qsb->qkb", onehot,
+                             bm.reshape(qp, nsb, nbt),
                              preferred_element_type=jnp.float32,
                              precision=jax.lax.Precision.HIGHEST)
-        cand_bm = jnp.where(cand_bm <= -3.0e38, -jnp.inf, cand_bm)
-        _, bsel = _topk_entries(cand_bm.reshape(qp, ksb * nbt), kb)
+        cand_bm = jnp.where(sbi[:, :, None] < 0, NEG_CAP, cand_bm)
+        _, bsel = _topk_finite(cand_bm.reshape(qp, (ksb + 1) * nbt), kb)
         # local candidate -> global block id arithmetically (gathered values
-        # are superblock ids < 2^24, exact in the fp32 one-hot product)
+        # are superblock ids < 2^24, exact in the fp32 one-hot product);
+        # candidates from dedup'd -1 slabs map to negative ids, which the
+        # phase-C kernel masks to -inf.
         bidx = _gather_int(sbi, bsel // nbt) * nbt + bsel % nbt
+        bidx = jnp.where(bidx < 0, -1, bidx)
     else:
-        _, bidx = _topk_entries(bm, kb)                  # [Qp, kb] block ids
+        _, bidx = _topk_finite(bm, kb)                   # [Qp, kb] block ids
+    bidx = jnp.where(bidx == straddle, -1, bidx)         # dedup marker
+    bidx = jnp.concatenate(
+        [bidx, jnp.broadcast_to(straddle, (qp, 1))], axis=1)  # [Qp, kb+1]
 
     # Phase C: recompute masked scores of only the selected blocks (Pallas
-    # gather at streaming bandwidth) and take the final exact top-k.
-    kbp = ((kb + GATHER_G - 1) // GATHER_G) * GATHER_G
-    bidx = jnp.pad(bidx, ((0, 0), (0, kbp - kb)), constant_values=-1)
+    # gather at streaming bandwidth) and take the final exact top-k. The
+    # kernel-managed-DMA gather is the production path; the BlockSpec
+    # variant backs interpret mode (manual DMA is TPU-only).
     qc = q  # int8 queries stay int8: the gather kernel runs the native int8 MXU dot
-    scores = gather_block_scores(qc, db, tl.reshape(nb, BLOCK), qcap, bidx,
-                                 n_valid, use_len=use_len, interpret=interpret,
-                                 scales=scales)
+    if interpret:
+        scores = gather_block_scores(qc, db, tl.reshape(nb, BLOCK), qcap, bidx,
+                                     n_valid, use_len=use_len,
+                                     interpret=interpret, scales=scales)
+    else:
+        scores = gather_block_scores_dma(
+            qc, db, tl.reshape(nb, BLOCK), qcap, bidx, n_valid,
+            use_len=use_len, quantized=scales is not None,
+            scales2d=None if scales is None else scales.reshape(nb, BLOCK))
+    kbp = scores.shape[1] // BLOCK
+    if kbp != bidx.shape[1]:  # the gather pads bidx columns to its group size
+        bidx = jnp.pad(bidx, ((0, 0), (0, kbp - bidx.shape[1])),
+                       constant_values=-1)
     v, sel = _topk_entries(scores, k)
     # candidate slot -> db row arithmetically: gather only block ids
     # (< 2^24, exact in the fp32 one-hot product) and rebuild the row id

@@ -191,6 +191,47 @@ def test_fused_topk_superblock_branch(problem):
     assert np.array_equal(np.asarray(i), ref_i)
 
 
+def test_fused_topk_production_tile(rng):
+    """Production-aligned tile ((tile/128) % 128 == 0) + nsb >= 2(k+1) takes
+    the aligned-BM superblock path; it must reproduce brute force
+    index-exactly, including with a ragged n_valid (straddling-block
+    compensation)."""
+    N, D, k = 8 * 16384, 128, 3
+    db = rng.normal(size=(N, D)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    q = rng.normal(size=(4, D)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    for nv in (N, N - 777):
+        rv, ri = _brute(q.copy(), db, nv, k)
+        v, i = fused_topk(jnp.asarray(q), jnp.asarray(db), nv, k,
+                          tile=16384, interpret=True)
+        np.testing.assert_array_equal(np.asarray(i), ri)
+        np.testing.assert_allclose(np.asarray(v), rv, atol=2e-6)
+
+
+def test_int8_block_scale_recall(rng):
+    """Quantify the int8 block-scale accuracy trade-off: recall@10 of the
+    int8 fused path against the exact f32 scan on unit-norm embeddings.
+    quantize_blocks shares one scale per 128 rows, so the quantisation step
+    is set by the largest |entry| in the block — this pins the measured
+    recall so the docstring's accuracy claim stays honest."""
+    from merizo_search_tpu.ops.pallas_scan import quantize_blocks, quantize_rows
+
+    N, D, Q, k = 4096, 128, 16, 10
+    db = rng.normal(size=(N, D)).astype(np.float32)
+    db /= np.linalg.norm(db, axis=1, keepdims=True)
+    q = rng.normal(size=(Q, D)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    ref_i = np.argsort(-(q @ db.T), axis=1)[:, :k]
+    db8, rs = quantize_blocks(db)
+    q8, _ = quantize_rows(q)
+    v, i = fused_topk(jnp.asarray(q8), jnp.asarray(db8), N, k,
+                      tile=512, interpret=True, scales=jnp.asarray(rs))
+    i = np.asarray(i)
+    recall = np.mean([len(set(i[r]) & set(ref_i[r])) / k for r in range(Q)])
+    assert recall >= 0.9, f"int8 block-scale recall@10 degraded: {recall}"
+
+
 def test_quantize_blocks_uniform_scales(rng):
     from merizo_search_tpu.ops.pallas_scan import quantize_blocks
 

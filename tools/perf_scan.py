@@ -25,7 +25,7 @@ from merizo_search_tpu.ops import pallas_scan as ps
 
 N = 1 << int(sys.argv[1]) if len(sys.argv) > 1 else 1 << 24
 D = 128
-Q = 64
+Q = int(sys.argv[2]) if len(sys.argv) > 2 else 64
 K = 100
 REP = 8
 
