@@ -246,12 +246,20 @@ def createdb(argv):
     p.add_argument("-d", "--device", type=str, default=None)
     p.add_argument("--db_format", type=str, default="pt", choices=["pt", "mmap"],
                    help="'pt' = reference small-DB layout; 'mmap' = large resumable layout.")
+    p.add_argument("--precision", type=str, default=None,
+                   choices=["int8", "bf16"],
+                   help="Also write a quantised embedding sidecar (mmap layout "
+                        "only) so streaming searches read 1 (int8) or 2 (bf16) "
+                        "bytes/element from disk instead of 4. The fp32 file "
+                        "stays authoritative for reference interop.")
     p.add_argument("--resume", action="store_true", default=False)
     p.add_argument("--weights", type=str, default=None)
     p.add_argument("--mesh", type=int, default=0,
                    help="Embed data-parallel across this many devices.")
     _add_trace_flag(p)
     args = p.parse_args(argv)
+    if args.precision and args.db_format != "mmap":
+        p.error("--precision requires --db_format mmap")
     _apply_device(args.device)
     _ensure_parent(args.out_db)
 
@@ -262,7 +270,7 @@ def createdb(argv):
     with profiling.trace(args.trace):
         run_createdb(args.input_dir, args.out_db, weights=args.weights,
                      fmt=args.db_format, resume=args.resume,
-                     mesh=_mesh(args.mesh))
+                     mesh=_mesh(args.mesh), sidecar=args.precision)
     _finish("createdb", t0)
 
 
@@ -453,10 +461,18 @@ def dbinfo(argv):
                         "match, names decode, embeddings finite.")
     p.add_argument("--sample", type=int, default=1000,
                    help="With --verify: entries to check (0 = all).")
+    p.add_argument("--write-sidecar", type=str, default=None,
+                   choices=["int8", "bf16"], dest="write_sidecar",
+                   help="Add a quantised embedding sidecar to an existing "
+                        "mmap-layout DB (incl. reference-built ones) so "
+                        "streaming searches read 1-2 bytes/element from disk.")
     args = p.parse_args(argv)
 
     import numpy as np
-    from .db.codecs import FlatDB
+    from .db.codecs import FlatDB, write_quantized_sidecar
+
+    if args.write_sidecar:
+        write_quantized_sidecar(args.db_name, args.write_sidecar)
 
     db = FlatDB.open(args.db_name)
     emb = db.embeddings()
@@ -465,6 +481,8 @@ def dbinfo(argv):
     print(f"dim:        {db.dim}")
     print(f"dtype:      {emb.dtype}")
     print(f"normalised: {db.normalised}")
+    print(f"sidecars:   "
+          f"{' '.join(k for k in ('int8', 'bf16') if db.has_quant(k)) or 'none'}")
     print(f"metadata:   {'yes' if getattr(db, '_meta_blob', None) else 'no'}")
     lens = db.lengths()
     print(f"lengths:    min {int(lens.min())}  median {int(np.median(lens))} "

@@ -20,6 +20,20 @@ databases built by either tool are interchangeable:
 
 Readers use np.memmap; writers stream. A `FlatDB` facade gives the search
 engine a single interface over both.
+
+TPU-native extension (no reference counterpart): the mmap layout can carry
+quantised embedding sidecars so larger-than-HBM streaming reads 1 (int8) or
+2 (bf16) bytes per element from disk instead of 4 — at TED-365M scale the
+host read IS the streaming bottleneck. Extra JSON keys (ignored by the
+reference reader, which accesses keys by name):
+       dbfname_int8    int8 [DB_SIZE, DB_DIM], block-quantised
+       dbfname_scales  float32 [DB_SIZE] dequant scales, uniform per
+                       QUANT_BLOCK consecutive rows (ops.pallas_scan
+                       `quantize_blocks` layout — the fused int8 kernel's
+                       required format)
+       dbfname_bf16    bfloat16 [DB_SIZE, DB_DIM] (stored as uint16 bits)
+       QUANT_BLOCK     rows per shared int8 scale (128)
+The fp32 `dbfname_IP` file always remains authoritative for interop.
 """
 
 from __future__ import annotations
@@ -186,6 +200,60 @@ class MmapDBWriter:
         return json_path
 
 
+QUANT_BLOCK = 128  # rows per shared int8 scale (= pallas_scan.BLOCK)
+
+
+def write_quantized_sidecar(db_prefix: str, kind: str = "int8",
+                            chunk_rows: int = 1 << 18) -> None:
+    """Add a quantised embedding sidecar to an existing mmap-layout DB.
+
+    Streams the fp32 embedding file once (chunk_rows at a time, 128 MB of
+    host RAM at the default), writes `<base>_raw_128d_norm.{int8,bf16}`
+    (+ `.scales` for int8), and records the new files in the JSON
+    descriptor. int8 uses one shared symmetric scale per QUANT_BLOCK
+    consecutive rows — exactly the `quantize_blocks` layout the fused
+    Pallas int8 scan requires (see ops/pallas_scan.py). Works on
+    reference-built DBs too (the fp32 file is left untouched)."""
+    from ..ops.pallas_scan import quantize_blocks
+
+    if kind not in ("int8", "bf16"):
+        raise ValueError(f"unknown quantisation kind: {kind}")
+    info = read_dbinfo(db_prefix + ".json")
+    d = os.path.dirname(db_prefix + ".json") or "."
+    size, dim = int(info["DB_SIZE"]), int(info["DB_DIM"])
+    emb = np.memmap(os.path.join(d, info["dbfname_IP"]), dtype=np.float32,
+                    mode="r", shape=(size, dim))
+    base = os.path.basename(db_prefix)
+    # chunk boundaries must fall on QUANT_BLOCK rows so per-chunk block
+    # quantisation equals one global quantize_blocks pass
+    chunk_rows = max(QUANT_BLOCK, (chunk_rows // QUANT_BLOCK) * QUANT_BLOCK)
+    if kind == "int8":
+        qf = base + "_raw_128d_norm.int8"
+        sf = base + "_raw_128d_norm.scales"
+        with open(os.path.join(d, qf), "wb") as qfh, \
+                open(os.path.join(d, sf), "wb") as sfh:
+            for i0 in range(0, size, chunk_rows):
+                blk = np.asarray(emb[i0:i0 + chunk_rows], np.float32)
+                qv, s = quantize_blocks(blk, QUANT_BLOCK)
+                qfh.write(qv.tobytes())
+                sfh.write(s.tobytes())
+        info["dbfname_int8"] = qf
+        info["dbfname_scales"] = sf
+        info["QUANT_BLOCK"] = QUANT_BLOCK
+    else:
+        qf = base + "_raw_128d_norm.bf16"
+        import ml_dtypes  # ships with jax
+
+        with open(os.path.join(d, qf), "wb") as qfh:
+            for i0 in range(0, size, chunk_rows):
+                blk = np.asarray(emb[i0:i0 + chunk_rows], np.float32)
+                qfh.write(blk.astype(ml_dtypes.bfloat16).tobytes())
+        info["dbfname_bf16"] = qf
+    with open(db_prefix + ".json", "w") as fh:
+        json.dump(info, fh)
+    logger.info("wrote %s sidecar for %s (%d rows)", kind, db_prefix, size)
+
+
 # ---------------------------------------------------------------------------
 # FlatDB facade
 
@@ -226,9 +294,15 @@ class FlatDB:
     materialised in host RAM unless asked).
     """
 
+    _emb8 = None      # int8 sidecar memmap (mmap layout only)
+    _scales = None    # f32 block-uniform dequant scales for _emb8
+    _embbf = None     # bf16 sidecar memmap
+
     def __init__(self, kind: str, **kw):
         self.kind = kind
         self.__dict__.update(kw)
+        self.max_block_read = 0  # largest single embedding read (rows);
+        #                          tests assert residency loads stay chunked
 
     # -- constructors -------------------------------------------------------
     @classmethod
@@ -257,6 +331,20 @@ class FlatDB:
             seq_se = read_startend(os.path.join(d, info["sif"]), size)
             ca_se = read_startend(os.path.join(d, info["cif"]), size)
             has_meta = "mif" in info and "mdf" in info
+            emb8 = scales = embbf = None
+            if "dbfname_int8" in info and os.path.exists(
+                    os.path.join(d, info["dbfname_int8"])):
+                emb8 = np.memmap(os.path.join(d, info["dbfname_int8"]),
+                                 dtype=np.int8, mode="r", shape=(size, dim))
+                scales = np.memmap(os.path.join(d, info["dbfname_scales"]),
+                                   dtype=np.float32, mode="r", shape=(size,))
+            if "dbfname_bf16" in info and os.path.exists(
+                    os.path.join(d, info["dbfname_bf16"])):
+                import ml_dtypes
+
+                embbf = np.memmap(os.path.join(d, info["dbfname_bf16"]),
+                                  dtype=ml_dtypes.bfloat16, mode="r",
+                                  shape=(size, dim))
             return cls(
                 "mmap", prefix=db_name, _emb=emb, _names=names,
                 _seq_se=seq_se, _seq_blob=os.path.join(d, info["sdf"]),
@@ -264,6 +352,7 @@ class FlatDB:
                 _meta_se=read_startend(os.path.join(d, info["mif"]), size) if has_meta else None,
                 _meta_blob=os.path.join(d, info["mdf"]) if has_meta else None,
                 _lengths=None, size=size, dim=dim, normalised=True,
+                _emb8=emb8, _scales=scales, _embbf=embbf,
             )
         raise FileNotFoundError(
             f"{db_name} is not a valid db: neither {db_name}.pt nor {db_name}.json found")
@@ -285,10 +374,39 @@ class FlatDB:
     def embeddings(self) -> np.ndarray:
         return self._emb
 
+    def has_quant(self, kind: str) -> bool:
+        """True if a quantised sidecar of `kind` ("int8"/"bf16") is attached."""
+        return (self._emb8 if kind == "int8" else self._embbf) is not None
+
+    def read_rows(self, lo: int, hi: int, normalised: bool = True) -> np.ndarray:
+        """f32 embedding rows [lo:hi) (hi clipped to size), normalised on
+        request. The chunked accessor residency/streaming loads go through —
+        never materialises more than the requested range in host RAM."""
+        hi = min(hi, self.size)
+        blk = np.asarray(self._emb[lo:hi], np.float32)
+        self.max_block_read = max(self.max_block_read, hi - lo)
+        if normalised and not self.normalised:
+            n = np.linalg.norm(blk, axis=1, keepdims=True)
+            blk /= np.maximum(n, 1e-12)
+        return blk
+
+    def read_rows_quant(self, lo: int, hi: int, kind: str):
+        """Quantised sidecar rows [lo:hi). int8 -> (int8 block, f32 scales);
+        bf16 -> bf16 block. For int8, lo must fall on a QUANT_BLOCK boundary
+        so the shared-scale blocks stay aligned."""
+        hi = min(hi, self.size)
+        self.max_block_read = max(self.max_block_read, hi - lo)
+        if kind == "int8":
+            if lo % QUANT_BLOCK:
+                raise ValueError(f"int8 reads must align to {QUANT_BLOCK} rows")
+            return (np.asarray(self._emb8[lo:hi]),
+                    np.asarray(self._scales[lo:hi]))
+        return np.asarray(self._embbf[lo:hi])
+
     def iter_blocks(self, batch_size: int):
         """Yield (offset, block) over the embedding matrix (dbutil.py:33-35)."""
         for i0 in range(0, self.size, batch_size):
-            yield i0, np.asarray(self._emb[i0:i0 + batch_size])
+            yield i0, self.read_rows(i0, i0 + batch_size, normalised=False)
 
     # -- per-entry accessors ------------------------------------------------
     def lengths(self) -> np.ndarray:

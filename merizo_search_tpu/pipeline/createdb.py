@@ -39,10 +39,14 @@ def list_pdb_files(input_dir: str) -> list[str]:
 
 def run_createdb(input_dir: str, out_db: str, weights: str | None = None,
                  fmt: str = "pt", resume: bool = False,
-                 chunk_files: int = 4096, params=None, mesh=None) -> int:
+                 chunk_files: int = 4096, params=None, mesh=None,
+                 sidecar: str | None = None) -> int:
     """Build a database. Returns the number of entries written.
 
     fmt: "pt" (reference small-DB layout) or "mmap" (large, resumable).
+    sidecar: "int8" or "bf16" adds a quantised embedding sidecar to an mmap
+    build (codecs.write_quantized_sidecar) so streaming searches read 1-2
+    bytes/element from disk instead of 4.
     """
     files = list_pdb_files(input_dir)
     logger.info("%d PDB files found in model directory. Will generate Foldclass database..", len(files))
@@ -114,6 +118,8 @@ def run_createdb(input_dir: str, out_db: str, weights: str | None = None,
     if fmt == "mmap":
         writer.finalize()
         total = writer.count
+        if sidecar:
+            codecs.write_quantized_sidecar(out_db, sidecar)
     else:
         total = len(all_entries)
         if total == 0:

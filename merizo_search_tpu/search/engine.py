@@ -167,11 +167,14 @@ class SearchEngine:
         if self._resident is not None:
             return
         t0 = time.time()
-        emb = np.asarray(self.db.embeddings(), dtype=np.float32)
-        if not self.db.normalised:
-            emb = _normalize_rows(emb)
-        lengths = self.db.lengths().astype(np.float32)
         if self.index == "ivf":
+            # IVF clustering needs the full matrix (k-means + permutation);
+            # it is gated to device-mode DBs, which fit in HBM and a fortiori
+            # in host RAM
+            emb = np.asarray(self.db.embeddings(), dtype=np.float32)
+            if not self.db.normalised:
+                emb = _normalize_rows(emb)
+            lengths = self.db.lengths().astype(np.float32)
             from . import ivf as ivf_mod
 
             # persist the build next to the DB: centroids + permutation are
@@ -231,44 +234,94 @@ class SearchEngine:
             return
         # pad rows so both the mesh split and the scan chunking divide evenly;
         # keep the chunk no bigger than one shard's worth of a small DB
-        n = emb.shape[0]
+        n = self.db.size
+        dim = self.db.dim
         self._chunk_eff = max(8, min(self.chunk, ((n // self.ndev) + 7) // 8 * 8))
         mult = self.ndev * self._chunk_eff
         if self._fused:
             mult = self.ndev * pallas_scan.DEFAULT_TILE
         npad = ((n + mult - 1) // mult) * mult
-        if npad != n:
-            emb = np.concatenate([emb, np.zeros((npad - n, emb.shape[1]), emb.dtype)])
-            lengths = np.concatenate([lengths, np.full(npad - n, 1e9, np.float32)])
-        self._dscale = None
-        if self.quantized:
-            emb, rscale = pallas_scan.quantize_blocks(emb)  # pad rows -> 0, scale 1
-            if self._fused:
-                if self.mesh is not None:
-                    self._dscale = jax.device_put(
-                        rscale, NamedSharding(self.mesh,
-                                              P(self.mesh.axis_names[0])))
+        # Each device shard is produced by a callback that streams bounded
+        # f32 chunks from the DB (memmap for the mmap layout) straight into
+        # a target-dtype buffer — peak host RAM is one shard in the storage
+        # dtype plus one staging chunk, never the whole DB in f32 (a mesh-
+        # resident 64 GB bf16 DB previously cost ~256 GB of host f32 copies).
+        # Quantised sidecars (db.codecs.write_quantized_sidecar) are read
+        # natively, skipping the fp32 decode entirely.
+        CH = 1 << 18  # staging chunk: 128 MB of f32 rows at dim=128
+        quant_fused = self.quantized and self._fused
+        use_i8_side = self.quantized and self.db.has_quant("int8")
+        use_bf_side = (self.dtype == jnp.bfloat16 and not self.quantized
+                       and self.db.has_quant("bf16"))
+        if quant_fused:
+            tgt = np.int8
+        elif self.dtype == jnp.bfloat16:
+            tgt = np.dtype("bfloat16")
+        else:
+            # f32, and int8-requested off-TPU (tests): dequantised-equivalent
+            # f32 keeps the int8 plumbing end-to-end testable anywhere
+            tgt = np.float32
+        scale_cache: dict[int, np.ndarray] = {}
+
+        def shard_rows(idx):
+            lo, hi, _ = idx[0].indices(npad)
+            out = np.zeros((hi - lo, dim), tgt)
+            sc = np.ones((hi - lo,), np.float32) if quant_fused else None
+            for c0 in range(lo, min(hi, n), CH):
+                c1 = min(c0 + CH, hi, n)
+                o0, o1 = c0 - lo, c1 - lo
+                if use_i8_side:
+                    qv, s = self.db.read_rows_quant(c0, c1, "int8")
+                    if quant_fused:
+                        out[o0:o1] = qv
+                        sc[o0:o1] = s
+                    else:  # off-TPU: dequantised-equivalent f32 from sidecar
+                        out[o0:o1] = qv.astype(np.float32) * s[:, None]
+                elif use_bf_side:
+                    out[o0:o1] = self.db.read_rows_quant(c0, c1, "bf16")
+                elif quant_fused:
+                    qv, s = pallas_scan.quantize_blocks(self.db.read_rows(c0, c1))
+                    out[o0:o1] = qv
+                    sc[o0:o1] = s
+                elif self.quantized:
+                    qv, s = pallas_scan.quantize_blocks(self.db.read_rows(c0, c1))
+                    out[o0:o1] = qv.astype(np.float32) * s[:, None]
                 else:
-                    self._dscale = jax.device_put(rscale)
-            else:
-                # off-TPU (tests): dequantise and take the XLA f32 path, so
-                # the int8 plumbing stays end-to-end testable anywhere
-                emb = emb.astype(np.float32) * rscale[:, None]
-        elif self.dtype != jnp.float32:
-            emb = emb.astype(np.dtype("bfloat16") if self.dtype == jnp.bfloat16 else emb.dtype)
+                    out[o0:o1] = self.db.read_rows(c0, c1).astype(tgt)
+            if quant_fused:
+                # keep scales uniform across the block straddling n: padding
+                # rows are zeros, so they can carry the tail block's scale
+                # (the fused kernel dequantises per 128-row block)
+                b = pallas_scan.BLOCK
+                if lo < n < hi and n % b:
+                    t0_, t1_ = n - lo, min((n // b + 1) * b, hi) - lo
+                    sc[t0_:t1_] = sc[t0_ - 1]
+                scale_cache[lo] = sc
+            return out
+
         if self.mesh is not None:
             axis = self.mesh.axis_names[0]
             sh = NamedSharding(self.mesh, P(axis, None))
             sh1 = NamedSharding(self.mesh, P(axis))
-            self._demb = jax.device_put(emb, sh)
-            self._dlen = jax.device_put(lengths, sh1)
         else:
-            self._demb = jax.device_put(emb)
-            self._dlen = jax.device_put(lengths)
+            dev = jax.devices()[0]
+            sh = jax.sharding.SingleDeviceSharding(dev)
+            sh1 = sh
+        self._demb = jax.make_array_from_callback((npad, dim), sh, shard_rows)
+        self._dscale = None
+        if quant_fused:
+            self._dscale = jax.make_array_from_callback(
+                (npad,), sh1, lambda idx: scale_cache[idx[0].indices(npad)[0]])
+        lengths = self.db.lengths().astype(np.float32)
+        if npad != n:
+            lengths = np.concatenate(
+                [lengths, np.full(npad - n, 1e9, np.float32)])
+        self._dlen = (jax.device_put(lengths, sh1) if self.mesh is not None
+                      else jax.device_put(lengths))
         self._n_valid = n
         self._resident = True
         logger.info("DB resident: %d rows (%.2f GB, %.2fs)", n,
-                    emb.nbytes / 2 ** 30, time.time() - t0)
+                    self._demb.nbytes / 2 ** 30, time.time() - t0)
 
     # -- public API ---------------------------------------------------------
     def search(self, query_embs: np.ndarray, k: int,
@@ -397,29 +450,55 @@ class SearchEngine:
         # host-side read+normalise+pad runs in a producer thread so disk/mem
         # traffic overlaps the (async-dispatched) device scan of the previous
         # superblock — the streaming double-buffer the reference's faiss
-        # block loop lacks (dbsearch.py:232-248 is fully serial).
+        # block loop lacks (dbsearch.py:232-248 is fully serial). Quantised
+        # sidecars (db.codecs.write_quantized_sidecar) are read natively,
+        # cutting the disk/page-cache traffic 4x (int8) or 2x (bf16) — at
+        # TED scale the host read, not the TPU scan, bounds streaming qps.
+        use_i8_side = self.quantized and self.db.has_quant("int8")
+        use_bf_side = (not self.quantized and self.dtype == jnp.bfloat16
+                       and self.db.has_quant("bf16"))
+        if use_i8_side:
+            # int8 sidecar scales are shared per 128 consecutive rows:
+            # superblock boundaries must fall on scale-block boundaries
+            b = pallas_scan.BLOCK
+            block = max(b, (block // b) * b)
+
         def produce(out_q):
             try:
-                for off, blk in self.db.iter_blocks(block):
-                    blk = np.asarray(blk, np.float32)
-                    if not self.db.normalised:
-                        blk = _normalize_rows(blk)
+                for off in range(0, self.db.size, block):
+                    rs = None
+                    if use_i8_side:
+                        blk, rs = self.db.read_rows_quant(off, off + block,
+                                                          "int8")
+                        if not quant:  # off-TPU: dequantised f32 fallback
+                            blk = blk.astype(np.float32) * rs[:, None]
+                            rs = None
+                    elif use_bf_side:
+                        blk = self.db.read_rows_quant(off, off + block, "bf16")
+                    else:
+                        blk = self.db.read_rows(off, off + block)
                     nb = blk.shape[0]
                     npad = ((nb + mult - 1) // mult) * mult
                     if npad != nb:
                         blk = np.concatenate(
                             [blk, np.zeros((npad - nb, blk.shape[1]), blk.dtype)])
+                        if rs is not None:
+                            # padding rows are zeros; give them the tail
+                            # block's scale so scales stay block-uniform
+                            tail = rs[-1] if nb % pallas_scan.BLOCK else 1.0
+                            rs = np.concatenate(
+                                [rs, np.full(npad - nb, tail, np.float32)])
                     tl = np.full(npad, 1e9, np.float32) if use_len else None
                     if use_len:
                         tl[:nb] = lengths[off:off + nb]
                     if self.mesh is not None and tl is None:
                         tl = np.zeros(npad, np.float32)  # mesh fn takes tlen always
-                    rs = None
-                    if quant:
+                    if use_i8_side or use_bf_side:
+                        pass  # already in device format
+                    elif quant:
                         blk, rs = pallas_scan.quantize_blocks(blk)
                     elif self.quantized:
-                        # int8 requested off-TPU: dequantised-equivalent f32
-                        pass
+                        pass  # int8 requested off-TPU: f32 fallback scan
                     elif self.dtype != jnp.float32:
                         blk = blk.astype(np.dtype("bfloat16"))
                     out_q.put((off, nb, blk, tl, rs))

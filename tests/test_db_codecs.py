@@ -118,3 +118,49 @@ def test_flatdb_from_arrays(rng):
     q = embs[:2]
     vals, idxs = eng.search(q, k=1)
     np.testing.assert_array_equal(idxs[:, 0], [0, 1])
+
+
+def test_quantized_sidecar_roundtrip(tmp_path, rng):
+    """write_quantized_sidecar must produce exactly the quantize_blocks
+    layout of the fp32 file (int8) and an exact bf16 cast (bf16), readable
+    through FlatDB.read_rows_quant."""
+    from merizo_search_tpu.ops.pallas_scan import quantize_blocks
+
+    embs, entries = _fake_entries(rng, n=300)
+    prefix = str(tmp_path / "quantdb")
+    w = codecs.MmapDBWriter(prefix, dim=128)
+    for (name, ca, seq), e in zip(entries, embs):
+        w.add(name, e, ca, seq)
+    w.finalize()
+
+    codecs.write_quantized_sidecar(prefix, "int8", chunk_rows=128)
+    codecs.write_quantized_sidecar(prefix, "bf16", chunk_rows=200)
+    db = codecs.FlatDB.open(prefix)
+    assert db.has_quant("int8") and db.has_quant("bf16")
+
+    norm = np.asarray(db.embeddings(), np.float32)  # stored fp32 rows
+    ref_q, ref_s = quantize_blocks(norm)
+    qv, s = db.read_rows_quant(0, 300, "int8")
+    np.testing.assert_array_equal(qv, ref_q)
+    np.testing.assert_array_equal(s, ref_s)
+    # chunked reads see the same bytes (128-aligned lo)
+    qv2, s2 = db.read_rows_quant(128, 300, "int8")
+    np.testing.assert_array_equal(qv2, ref_q[128:])
+    with pytest.raises(ValueError):
+        db.read_rows_quant(64, 128, "int8")
+
+    bf = db.read_rows_quant(0, 300, "bf16")
+    import ml_dtypes
+
+    np.testing.assert_array_equal(np.asarray(bf), norm.astype(ml_dtypes.bfloat16))
+
+
+def test_read_rows_normalises_pt(tmp_path, rng):
+    embs, entries = _fake_entries(rng, n=10)
+    prefix = str(tmp_path / "ptn")
+    codecs.write_pt_db(prefix, embs, entries)
+    db = codecs.FlatDB.open(prefix)
+    rows = db.read_rows(2, 7)
+    ref = embs[2:7] / np.linalg.norm(embs[2:7], axis=1, keepdims=True)
+    np.testing.assert_allclose(rows, ref, atol=1e-6)
+    assert db.max_block_read == 5

@@ -240,3 +240,52 @@ def test_int8_quantized_mesh_kernel_exact(rng):
     for qi in range(2):
         must = set(bi[qi][bv[qi] > bv[qi, -1] + 1e-5].tolist())
         assert must <= set(int(x) for x in np.asarray(idxs)[qi])
+
+
+def test_resident_load_is_chunked(tmp_path, rng):
+    """VERDICT r2: residency must not materialise the whole DB in host f32.
+    The loader streams bounded chunks through FlatDB.read_rows; assert the
+    largest single read stayed at/below the staging chunk."""
+    prefix, embs, _ = _make_db(tmp_path, rng, n=600, kind="mmap")
+    db = codecs.FlatDB.open(prefix)
+    eng = SearchEngine(db, chunk=128, dtype=jnp.bfloat16)
+    q = rng.normal(size=(3, 128)).astype(np.float32)
+    vals, idxs = eng.search(q, k=5)
+    assert db.max_block_read <= 1 << 18
+    bv, bi = _brute_force(q, embs, 5)
+    _assert_topk_close(vals, idxs, bv, bi, atol=2e-2)
+
+
+def test_stream_int8_sidecar_parity(tmp_path, rng):
+    """Streaming search over a DB with an int8 sidecar must read the sidecar
+    (not the fp32 file) and rank like the f32 scan on well-separated data."""
+    prefix, embs, _ = _make_db(tmp_path, rng, n=700, kind="mmap")
+    codecs.write_quantized_sidecar(prefix, "int8")
+    db = codecs.FlatDB.open(prefix)
+    eng = SearchEngine(db, chunk=64, dtype=jnp.int8, max_device_gb=1e-9,
+                       stream_block=256)
+    assert eng.mode == "stream"
+    q = embs[[10, 333, 650]] + rng.normal(size=(3, 128)).astype(np.float32) * 0.01
+    vals, idxs = eng.search(q.astype(np.float32), k=3)
+    # planted self-hits must surface despite int8 quantisation
+    assert idxs[0, 0] == 10 and idxs[1, 0] == 333 and idxs[2, 0] == 650
+    assert np.all(vals[:, 0] > 0.95)
+
+
+def test_resident_bf16_sidecar_used(tmp_path, rng):
+    """Device-mode bf16 residency reads the bf16 sidecar when present and
+    returns the same hits as the fp32 decode path."""
+    prefix, embs, _ = _make_db(tmp_path, rng, n=400, kind="mmap")
+    q = rng.normal(size=(4, 128)).astype(np.float32)
+    db0 = codecs.FlatDB.open(prefix)
+    eng0 = SearchEngine(db0, chunk=128, dtype=jnp.bfloat16)
+    v0, i0 = eng0.search(q, k=5)
+
+    codecs.write_quantized_sidecar(prefix, "bf16")
+    db1 = codecs.FlatDB.open(prefix)
+    assert db1.has_quant("bf16")
+    eng1 = SearchEngine(db1, chunk=128, dtype=jnp.bfloat16)
+    v1, i1 = eng1.search(q, k=5)
+    np.testing.assert_allclose(v0, v1, atol=1e-2)
+    bv, bi = _brute_force(q, embs, 5)
+    _assert_topk_close(v1, i1, bv, bi, atol=2e-2)
