@@ -1,0 +1,56 @@
+"""Shared TPU micro-benchmark harness.
+
+Timing over a remote (axon-tunnelled) TPU has ~30 ms round-trip latency
+with multi-ms jitter, so the subtract-one-RTT pattern is unreliable at
+sub-ms resolution. Instead: dispatch `rep` jitted calls asynchronously
+(each takes the iteration index so nothing is loop-invariant), block once
+on the last result, and divide. Dispatch overhead per call is ~100 us and
+is measured separately via an empty-kernel calibration and subtracted.
+
+Results are medians over `outer` rounds.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def _round(f, rep, args):
+    t0 = time.perf_counter()
+    out = None
+    for i in range(rep):
+        out = f(jnp.int32(i), *args)
+    jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
+    return time.perf_counter() - t0
+
+
+_overhead_cache: dict[int, float] = {}
+
+
+def dispatch_overhead(rep: int = 32) -> float:
+    """Per-call host dispatch cost, measured on a trivial jitted op."""
+    if rep in _overhead_cache:
+        return _overhead_cache[rep]
+    x = jnp.zeros((8, 128), jnp.float32)
+    f = jax.jit(lambda i, x: x + i)
+    _round(f, 4, (x,))
+    t = min(_round(f, rep, (x,)) for _ in range(5))
+    _overhead_cache[rep] = t / rep
+    return _overhead_cache[rep]
+
+
+def bench(fn, *args, rep: int = 32, outer: int = 5, tag: str | None = None):
+    """Median per-iteration seconds of `fn(i, *args)` (i = jnp.int32 index).
+
+    fn must make its work depend on i (e.g. roll an index array by i) so
+    XLA cannot hoist it out of the measurement."""
+    f = jax.jit(fn)
+    _round(f, 2, args)  # compile + warm
+    times = sorted(_round(f, rep, args) for _ in range(outer))
+    t = times[len(times) // 2] / rep - dispatch_overhead(rep)
+    if tag is not None:
+        print(f"{tag:46s} {t*1e3:8.3f} ms")
+    return t
