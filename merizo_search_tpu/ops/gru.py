@@ -22,11 +22,6 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def gru_cell(x_t, h, wi, wh, bi, bh):
-    """One GRU step. x_t [B,I], h [B,H]; wi [I,3H], wh [H,3H]."""
-    return _gru_cell_pre(x_t @ wi + bi, h, wh, bh)
-
-
 def _gru_cell_pre(gi, h, wh, bh):
     """GRU step with the input projection gi = x_t @ wi + bi precomputed."""
     gh = h @ wh + bh
@@ -40,6 +35,11 @@ def _gru_cell_pre(gi, h, wh, bh):
 
 def _scan_dir(x, mask, wi, wh, bi, bh):
     """Masked unidirectional scan. x [B,T,I], mask [B,T] -> (out [B,T,H], h_T).
+
+    Reference implementation: the production path is the direction-batched
+    `_scan_bidir` below; this single-direction scan is kept as the readable
+    spec and is pinned against it by tests/test_gru.py (parity test), so the
+    two cannot silently drift.
 
     The input projections for ALL timesteps run as one batched MXU matmul
     before the scan; only the inherently sequential recurrent product stays

@@ -69,8 +69,12 @@ class MicroBatcher:
     def _loop(self):
         import queue as _q
 
+        carry = None  # options-mismatched request held as the NEXT batch's
+        #               seed (re-queuing it behind newer arrivals could defer
+        #               a minority options key indefinitely under load)
         while True:
-            key, item, fut = self.queue.get()
+            key, item, fut = carry if carry is not None else self.queue.get()
+            carry = None
             batch = [(item, fut)]
             deadline = time.time() + self.linger
             while len(batch) < self.max_batch:
@@ -81,17 +85,25 @@ class MicroBatcher:
                     k2, i2, f2 = self.queue.get(timeout=timeout)
                 except _q.Empty:
                     break
-                if k2 != key:  # different options: defer to the next batch
-                    self.queue.put((k2, i2, f2))
+                if k2 != key:  # different options: seed the next batch
+                    carry = (k2, i2, f2)
                     break
                 batch.append((i2, f2))
             try:
                 results = self.fn(key, [b[0] for b in batch])
                 for (_, f), r in zip(batch, results):
                     f.set_result(r)
-            except BaseException as e:  # noqa: BLE001 - propagate to callers
-                for _, f in batch:
-                    f.set_exception(e)
+            except BaseException as e:  # noqa: BLE001
+                if len(batch) == 1:
+                    fut.set_exception(e)
+                    continue
+                # one bad query must not fail its co-batched travellers:
+                # retry each request alone so only the culprit(s) error
+                for it, f in batch:
+                    try:
+                        f.set_result(self.fn(key, [it])[0])
+                    except BaseException as e2:  # noqa: BLE001
+                        f.set_exception(e2)
 
 
 class SearchService:

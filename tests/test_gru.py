@@ -38,3 +38,34 @@ def test_bigru_padded_matches_exact():
     out_j, h_rev = bigru(params, xp, mask)
     np.testing.assert_allclose(np.asarray(out_j)[:, :11], out_t.numpy(), atol=1e-5)
     np.testing.assert_allclose(np.asarray(h_rev), hn_t[-1].numpy(), atol=1e-5)
+
+
+def test_scan_dir_parity_with_bidir():
+    """_scan_dir is the readable single-direction spec; the production
+    direction-batched _scan_bidir must match it in both directions (ADVICE
+    r2: pin the reference path so the two cannot drift)."""
+    import jax.numpy as jnp
+
+    from merizo_search_tpu.ops.gru import _scan_bidir, _scan_dir
+
+    rng = np.random.default_rng(7)
+    B, T, I, H = 3, 11, 8, 6
+    x = jnp.asarray(rng.normal(size=(B, T, I)).astype(np.float32))
+    mask = np.ones((B, T), np.float32)
+    mask[1, 7:] = 0.0
+    mask[2, 4:] = 0.0
+    mask = jnp.asarray(mask)
+    layer = {f"{w}_{d}": jnp.asarray(rng.normal(
+        size=(I if w == "wi" else H, 3 * H) if w.startswith("w") else (3 * H,)
+        ).astype(np.float32) * 0.3)
+        for w in ("wi", "wh", "bi", "bh") for d in ("f", "b")}
+
+    out, h_rev = _scan_bidir(x, mask, layer)
+    out_f, _ = _scan_dir(x, mask, layer["wi_f"], layer["wh_f"],
+                         layer["bi_f"], layer["bh_f"])
+    xr, mr = jnp.flip(x, axis=1), jnp.flip(mask, axis=1)
+    out_b, h_b = _scan_dir(xr, mr, layer["wi_b"], layer["wh_b"],
+                           layer["bi_b"], layer["bh_b"])
+    ref = jnp.concatenate([out_f, jnp.flip(out_b, axis=1)], axis=-1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(h_rev), np.asarray(h_b), atol=1e-6)

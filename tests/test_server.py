@@ -144,3 +144,44 @@ def test_concurrent_searches_microbatch(service_db):
     # than requests proves coalescing happened
     assert svc.n_batches - base_batches < len(bodies)
     assert svc.n_requests == 2 * len(bodies)
+
+
+def test_microbatcher_minority_key_not_starved_and_per_query_retry():
+    """ADVICE r2: an options-mismatched request must seed the next batch
+    (not requeue behind newer arrivals), and one failing query must not
+    fail its co-batched travellers."""
+    import time as _t
+
+    from merizo_search_tpu.server import MicroBatcher
+
+    calls = []
+
+    def fn(key, items):
+        calls.append((key, list(items)))
+        if any(i == "bad" for i in items):
+            if len(items) > 1:
+                raise RuntimeError("batch poisoned")
+            raise ValueError("bad item")
+        return [f"{key}:{i}" for i in items]
+
+    mb = MicroBatcher(fn, max_batch=8, linger_ms=30.0)
+    # majority key A, one minority B in the middle: B must be served as the
+    # immediate next batch seed
+    futs = [mb.submit("A", 1), mb.submit("A", 2), mb.submit("B", 9),
+            mb.submit("A", 3)]
+    assert futs[2].result(timeout=5) == "B:9"
+    assert [f.result(timeout=5) for f in (futs[0], futs[1], futs[3])] == [
+        "A:1", "A:2", "A:3"]
+
+    # poisoned batch: co-travellers succeed via per-query retry
+    f_ok = mb.submit("C", "good")
+    f_bad = mb.submit("C", "bad")
+    _t.sleep(0.01)
+    f_ok2 = mb.submit("C", "good2")
+    assert f_ok.result(timeout=5) == "C:good"
+    assert f_ok2.result(timeout=5) == "C:good2"
+    try:
+        f_bad.result(timeout=5)
+        raise AssertionError("bad item must raise")
+    except ValueError:
+        pass
