@@ -150,9 +150,12 @@ class SearchEngine:
         self.ivf_nprobe = ivf_nprobe
         self._ivf = None
         if index == "ivf":
-            if self.quantized or self.mode != "device":
-                raise NotImplementedError("IVF currently supports fp32/bf16 "
-                                          "resident DBs (single device or mesh)")
+            if self.mode != "device":
+                raise NotImplementedError(
+                    f"IVF needs a device-resident DB: {db_bytes / 2**30:.1f} "
+                    f"GB exceeds the {budget / 2**30:.1f} GB HBM budget "
+                    f"({ndev} device(s) x {max_device_gb} GB). Use int8 "
+                    "(4x smaller), a larger mesh, or the flat stream mode.")
             # default nlist ~ sqrt(N), power of two, >= 16 (and a multiple of
             # the mesh size so shard boundaries fall on cluster boundaries)
             self.ivf_nlist = ivf_nlist or max(16, 1 << int(
@@ -168,12 +171,14 @@ class SearchEngine:
             return
         t0 = time.time()
         if self.index == "ivf":
-            # IVF clustering needs the full matrix (k-means + permutation);
-            # it is gated to device-mode DBs, which fit in HBM and a fortiori
-            # in host RAM
-            emb = np.asarray(self.db.embeddings(), dtype=np.float32)
-            if not self.db.normalised:
-                emb = _normalize_rows(emb)
+            # k-means trains on a sample and scores in chunks, so a memmap
+            # (mmap layout, already normalised) is used as-is; only raw pt
+            # DBs (small) are materialised for normalisation
+            if self.db.normalised:
+                emb = self.db.embeddings()
+            else:
+                emb = _normalize_rows(np.asarray(self.db.embeddings(),
+                                                 dtype=np.float32))
             lengths = self.db.lengths().astype(np.float32)
             from . import ivf as ivf_mod
 
@@ -205,32 +210,56 @@ class SearchEngine:
                 # boundaries fall on cluster boundaries
                 ivf = ivf_mod.build_ivf(emb, self.ivf_nlist,
                                         multiple_of=self.ndev)
-            dbp = ivf_mod.permute_db(
-                emb, ivf, np.dtype("bfloat16") if self.dtype == jnp.bfloat16
-                else np.float32)
             perm = ivf["perm"]
-            lp = np.full(len(perm), 1e9, np.float32)
+            npad = len(perm)
+            lp = np.full(npad, 1e9, np.float32)
             lp[perm >= 0] = lengths[perm[perm >= 0]]
+            # permuted shards are materialised per device callback (one slab
+            # of host RAM each, fancy-indexed straight off the memmap) — the
+            # old full-DB permuted host copy scaled with the whole mesh's HBM
+            ivf_tgt = (np.int8 if self.quantized else
+                       np.dtype("bfloat16") if self.dtype == jnp.bfloat16
+                       else np.float32)
+            scale_cache: dict[int, np.ndarray] = {}
+
+            def ivf_shard(idx):
+                lo, hi, _ = idx[0].indices(npad)
+                slab = ivf_mod.permute_rows(emb, perm[lo:hi], np.float32)
+                if self.quantized:
+                    qv, s = pallas_scan.quantize_blocks(slab)
+                    scale_cache[lo] = s
+                    return qv
+                return slab.astype(ivf_tgt)
+
             if self.mesh is not None:
                 axis = self.mesh.axis_names[0]
                 row_sh = NamedSharding(self.mesh, P(axis, None))
                 one_sh = NamedSharding(self.mesh, P(axis))
-                self._demb = jax.device_put(dbp, row_sh)
-                self._dlen = jax.device_put(lp, one_sh)
-                self._ivf = {"centroids": jax.device_put(ivf["centroids"]),
-                             "perm": jax.device_put(perm, one_sh)}
+                cent_put = jax.device_put(ivf["centroids"])
+                perm_put = jax.device_put(perm, one_sh)
             else:
-                self._demb = jax.device_put(dbp)
-                self._dlen = jax.device_put(lp)
-                self._ivf = {"centroids": jax.device_put(ivf["centroids"]),
-                             "perm": jax.device_put(perm)}
+                dev = jax.devices()[0]
+                row_sh = jax.sharding.SingleDeviceSharding(dev)
+                one_sh = row_sh
+                cent_put = jax.device_put(ivf["centroids"])
+                perm_put = jax.device_put(perm)
+            self._demb = jax.make_array_from_callback(
+                (npad, self.db.dim), row_sh, ivf_shard)
+            self._dscale = None
+            if self.quantized:
+                self._dscale = jax.make_array_from_callback(
+                    (npad,), one_sh,
+                    lambda idx: scale_cache[idx[0].indices(npad)[0]])
+            self._dlen = (jax.device_put(lp, one_sh) if self.mesh is not None
+                          else jax.device_put(lp))
+            self._ivf = {"centroids": cent_put, "perm": perm_put}
             self.ivf_nlist = int(ivf["centroids"].shape[0])  # build may clamp
-            self._n_valid = emb.shape[0]
+            self._n_valid = self.db.size
             self._chunk_eff = self.chunk
             self._resident = True
             logger.info("IVF DB resident: %d rows in %d clusters (%.2f GB, %.2fs)",
-                        emb.shape[0], ivf["nlist"], dbp.nbytes / 2 ** 30,
-                        time.time() - t0)
+                        self.db.size, ivf["nlist"],
+                        self._demb.nbytes / 2 ** 30, time.time() - t0)
             return
         # pad rows so both the mesh split and the scan chunking divide evenly;
         # keep the chunk no bigger than one shard's worth of a small DB
@@ -345,15 +374,26 @@ class SearchEngine:
 
                 nprobe = min(self.ivf_nprobe, self.ivf_nlist)
                 interp = jax.default_backend() != "tpu"
-                key = ("ivf", k_eff, nprobe, use_len, float(mincov), interp)
+                key = ("ivf", k_eff, nprobe, use_len, float(mincov), interp,
+                       self.quantized)
                 if key not in self._mesh_fns:
                     self._mesh_fns[key] = ivf_mod.build_mesh_ivf_search(
                         self.mesh, k_eff, nprobe, use_len, float(mincov),
-                        interpret=interp)
+                        interpret=interp, quantized=self.quantized)
+                qf = jnp.asarray(q)  # f32 drives the centroid probe
+                if self.quantized:
+                    q8_np, qs = pallas_scan.quantize_rows(q)
+                    qd8 = jnp.asarray(q8_np)
+                    scale_arg = self._dscale
+                else:
+                    qf = qf.astype(self.dtype)
+                    qd8, qs, scale_arg = qf, None, self._dlen  # dummies
                 vals, idxs = self._mesh_fns[key](
-                    jnp.asarray(q).astype(self.dtype), self._demb,
+                    qf, qd8, self._demb,
                     self._ivf["centroids"], self._dlen, self._ivf["perm"],
-                    jnp.asarray(qlen))
+                    jnp.asarray(qlen), scale_arg)
+                if self.quantized:
+                    vals = vals * jnp.asarray(qs)[:, None]
             elif self.mesh is not None:
                 quant = self.quantized and self._fused
                 key = (k_eff, chunk, float(mincov), use_len, self._fused, quant)
@@ -378,13 +418,21 @@ class SearchEngine:
             elif self._ivf is not None:
                 from . import ivf as ivf_mod
 
+                if self.quantized:
+                    q8_np, qs = pallas_scan.quantize_rows(q)
+                    qf, qd8 = jnp.asarray(q), jnp.asarray(q8_np)
+                else:
+                    qf, qd8, qs = jnp.asarray(q).astype(self.dtype), None, None
                 vals, idxs = ivf_mod.ivf_search(
-                    jnp.asarray(q).astype(self.dtype), self._demb,
+                    qf, self._demb,
                     self._ivf["centroids"], self._ivf["perm"], k_eff,
                     min(self.ivf_nprobe, self.ivf_nlist),
                     tlen=self._dlen, qlen=jnp.asarray(qlen),
                     mincov=float(mincov), use_len=use_len,
-                    interpret=jax.default_backend() != "tpu")
+                    interpret=jax.default_backend() != "tpu",
+                    scales=self._dscale if self.quantized else None, q8=qd8)
+                if self.quantized:
+                    vals = vals * jnp.asarray(qs)[:, None]
             elif self._fused and self.quantized:
                 q8, qs = pallas_scan.quantize_rows(q)
                 vals, idxs = pallas_scan.fused_topk(

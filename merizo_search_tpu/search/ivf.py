@@ -164,13 +164,21 @@ def build_ivf(emb: np.ndarray, nlist: int, iters: int = 10,
             "nlist": nlist}
 
 
-def permute_db(emb: np.ndarray, ivf: dict, dtype=np.float32) -> np.ndarray:
-    """Materialise the cluster-contiguous DB (padding rows are zero)."""
-    perm = ivf["perm"]
-    out = np.zeros((len(perm), emb.shape[1]), dtype)
-    valid = perm >= 0
-    out[valid] = emb[perm[valid]].astype(dtype)
+def permute_rows(emb, perm_slice: np.ndarray, dtype=np.float32) -> np.ndarray:
+    """Materialise one cluster-contiguous slab (padding rows are zero).
+
+    emb may be a memmap: rows are fancy-indexed, so host RAM holds only the
+    requested slab — the residency loader builds each device shard with one
+    call instead of permuting the whole DB in host RAM first."""
+    out = np.zeros((len(perm_slice), emb.shape[1]), dtype)
+    valid = perm_slice >= 0
+    out[valid] = emb[perm_slice[valid]].astype(dtype)
     return out
+
+
+def permute_db(emb: np.ndarray, ivf: dict, dtype=np.float32) -> np.ndarray:
+    """Materialise the full cluster-contiguous DB (tests/small DBs)."""
+    return permute_rows(emb, ivf["perm"], dtype)
 
 
 def _probe_blocks(q, centroids, nprobe, bpc, nlist_local=None, me=None):
@@ -198,9 +206,12 @@ def _probe_blocks(q, centroids, nprobe, bpc, nlist_local=None, me=None):
 
 
 def _probe_and_select(q, db_perm, perm, bidx, k, tlen, qlen, mincov, use_len,
-                      interpret):
+                      interpret, scales=None):
     """Gather the probed blocks, exact top-k of the probed candidates.
 
+    scales: [Npad] f32 block-uniform dequant scales when db_perm is int8
+    (quantize_blocks over the PERMUTED layout); queries must then be int8
+    too, and the caller applies the per-query scale to the returned values.
     Returns (scores [Q,k] f32, ORIGINAL row indices [Q,k] i32, -1 misses).
     """
     qn = q.shape[0]
@@ -226,7 +237,7 @@ def _probe_and_select(q, db_perm, perm, bidx, k, tlen, qlen, mincov, use_len,
         qcap = jnp.full((qp,), jnp.float32(3e38))
     scores = ps.gather_block_scores(
         q, db_perm, tl2d, qcap, bidx.astype(jnp.int32),
-        db_perm.shape[0], use_len=True, interpret=interpret)
+        db_perm.shape[0], use_len=True, interpret=interpret, scales=scales)
     ridx = (bidx[:, :, None] * BLOCK
             + jnp.arange(BLOCK)[None, None, :]).reshape(qp, kbp * BLOCK)
     v, sel = ps._topk_entries(scores, k)
@@ -237,7 +248,8 @@ def _probe_and_select(q, db_perm, perm, bidx, k, tlen, qlen, mincov, use_len,
 
 
 def build_mesh_ivf_search(mesh, k: int, nprobe: int, use_len: bool,
-                          mincov: float, interpret: bool = False):
+                          mincov: float, interpret: bool = False,
+                          quantized: bool = False):
     """Mesh-sharded IVF: clusters sharded over the mesh axis.
 
     Each device holds nlist/ndev contiguous clusters of the permuted DB.
@@ -246,6 +258,11 @@ def build_mesh_ivf_search(mesh, k: int, nprobe: int, use_len: bool,
     are -1-masked), takes its local exact top-k, and the per-shard partials
     are all-gather-merged over ICI — identical results to single-device
     ivf_search with the same centroids/perm.
+
+    quantized=True takes int8 shards + block-uniform scale shards plus
+    pre-quantised int8 queries q8 (quantize_rows; the f32 q still drives the
+    centroid probe). The caller applies the per-query scale to the merged
+    values — per-shard ranking is scale-invariant per query.
     """
     from .engine import _shard_map_unchecked
     from jax.sharding import PartitionSpec as P
@@ -253,7 +270,8 @@ def build_mesh_ivf_search(mesh, k: int, nprobe: int, use_len: bool,
 
     axis = mesh.axis_names[0]
 
-    def local_fn(q, db_shard, centroids, tl_shard, perm_shard, qlen):
+    def local_fn(q, q8, db_shard, centroids, tl_shard, perm_shard, qlen,
+                 scale_shard):
         nd = jax.lax.axis_size(axis)
         me = jax.lax.axis_index(axis)
         nlist = centroids.shape[0]
@@ -262,16 +280,18 @@ def build_mesh_ivf_search(mesh, k: int, nprobe: int, use_len: bool,
         bpc = c_rows // BLOCK
         bidx = _probe_blocks(q, centroids, nprobe, bpc,
                              nlist_local=nlist_local, me=me)
-        v, idx = _probe_and_select(q, db_shard, perm_shard, bidx, k,
-                                   tl_shard, qlen, mincov, use_len, interpret)
+        v, idx = _probe_and_select(q8 if quantized else q, db_shard,
+                                   perm_shard, bidx, k,
+                                   tl_shard, qlen, mincov, use_len, interpret,
+                                   scales=scale_shard if quantized else None)
         av = jax.lax.all_gather(v, axis)
         ai = jax.lax.all_gather(idx, axis)
         return topk_ops.merge_partials(av, ai, k)
 
     fn = _shard_map_unchecked(
         local_fn, mesh=mesh,
-        in_specs=(P(None, None), P(axis, None), P(None, None), P(axis),
-                  P(axis), P(None)),
+        in_specs=(P(None, None), P(None, None), P(axis, None), P(None, None),
+                  P(axis), P(axis), P(None), P(axis)),
         out_specs=(P(None, None), P(None, None)),
     )
     return jax.jit(fn)
@@ -279,16 +299,23 @@ def build_mesh_ivf_search(mesh, k: int, nprobe: int, use_len: bool,
 
 @partial(jax.jit, static_argnames=("k", "nprobe", "use_len", "interpret"))
 def ivf_search(q, db_perm, centroids, perm, k, nprobe, tlen=None, qlen=None,
-               mincov=0.0, use_len=False, interpret=False):
+               mincov=0.0, use_len=False, interpret=False, scales=None,
+               q8=None):
     """Approximate top-k: probe nprobe clusters, exact top-k of the probed.
 
-    q [Q,D] (db_perm's dtype), db_perm [Npad,D] cluster-contiguous,
-    centroids [nlist,D] f32, perm [Npad] i64, tlen [Npad] f32 target lengths
-    in PERMUTED order (mincov filter, same semantics as the flat scan).
+    q [Q,D] f32/bf16 (drives the centroid probe), db_perm [Npad,D]
+    cluster-contiguous, centroids [nlist,D] f32, perm [Npad] i64,
+    tlen [Npad] f32 target lengths in PERMUTED order (mincov filter, same
+    semantics as the flat scan).
+    int8 DBs: pass scales (block-uniform over the permuted layout) AND q8
+    (quantize_rows int8 queries) — the full-precision q still ranks the
+    centroids, identically to the mesh path; values then need the caller's
+    per-query rescale.
     Returns (scores [Q,k] f32, ORIGINAL indices [Q,k] i32, -1 for misses).
     """
     nlist = centroids.shape[0]
     c_rows = db_perm.shape[0] // nlist
     bidx = _probe_blocks(q, centroids, nprobe, c_rows // BLOCK)
-    return _probe_and_select(q, db_perm, perm, bidx, k, tlen, qlen, mincov,
-                             use_len, interpret)
+    return _probe_and_select(q8 if q8 is not None else q, db_perm, perm,
+                             bidx, k, tlen, qlen, mincov,
+                             use_len, interpret, scales=scales)

@@ -113,12 +113,13 @@ def test_mesh_ivf_matches_single_device(mixture):
     fn = build_mesh_ivf_search(mesh, K, NPROBE, use_len=False, mincov=0.0,
                                interpret=True)
     tl = jnp.zeros(len(perm), jnp.float32)
-    vm, im = fn(jnp.asarray(q),
+    vm, im = fn(jnp.asarray(q), jnp.asarray(q),  # q8 slot unused when flat
                 jax.device_put(dbp, NamedSharding(mesh, P("d", None))),
                 jnp.asarray(ivf["centroids"]),
                 jax.device_put(tl, NamedSharding(mesh, P("d"))),
                 jax.device_put(perm, NamedSharding(mesh, P("d"))),
-                jnp.zeros(len(q), jnp.float32))
+                jnp.zeros(len(q), jnp.float32),
+                jax.device_put(tl, NamedSharding(mesh, P("d"))))  # dummy scales
     np.testing.assert_allclose(np.asarray(vm), np.asarray(v1), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(im), np.asarray(i1))
 
@@ -146,3 +147,54 @@ def test_engine_mesh_ivf(tmp_path, mixture):
     vm, im = em.search(q, k=10)
     np.testing.assert_allclose(vm, v1, atol=1e-5)
     np.testing.assert_array_equal(im, i1)
+
+
+def test_engine_ivf_int8(tmp_path, rng, mixture):
+    """int8 IVF (single device): probed candidates rescored through the int8
+    gather with block-uniform scales; planted near-self queries must hit."""
+    import jax.numpy as jnp
+
+    from merizo_search_tpu.db import codecs
+    from merizo_search_tpu.search.engine import SearchEngine
+
+    emb, q = mixture
+    entries = [(f"d{i}", np.zeros((3, 3), np.float32), "AAA")
+               for i in range(len(emb))]
+    prefix = str(tmp_path / "ivf8")
+    codecs.write_pt_db(prefix, emb, entries)
+    eng = SearchEngine(codecs.FlatDB.open(prefix), index="ivf",
+                       ivf_nlist=32, ivf_nprobe=8, dtype=jnp.int8)
+    vals, idxs = eng.search(q, k=10)
+    s = q @ emb.T
+    ref = np.argsort(-s, axis=1)[:, :10]
+    recall = np.mean([len(set(idxs[r]) & set(ref[r])) / 10
+                      for r in range(len(q))])
+    assert recall >= 0.8, recall
+    # planted queries: top hit is the (near-)source row with high score
+    assert np.all(vals[:, 0] > 0.95)
+
+
+def test_engine_mesh_ivf_int8(tmp_path, mixture):
+    """int8 IVF sharded over a mesh must match the single-device int8 IVF."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from merizo_search_tpu.db import codecs
+    from merizo_search_tpu.search.engine import SearchEngine
+
+    emb, q = mixture
+    entries = [(f"d{i}", np.zeros((3, 3), np.float32), "AAA")
+               for i in range(len(emb))]
+    prefix = str(tmp_path / "ivf8m")
+    codecs.write_pt_db(prefix, emb, entries)
+    db = codecs.FlatDB.open(prefix)
+    e1 = SearchEngine(db, index="ivf", ivf_nlist=64, ivf_nprobe=8,
+                      dtype=jnp.int8)
+    v1, i1 = e1.search(q, k=5)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("d",))
+    em = SearchEngine(codecs.FlatDB.open(prefix), mesh=mesh, index="ivf",
+                      ivf_nlist=64, ivf_nprobe=8, dtype=jnp.int8)
+    vm, im = em.search(q, k=5)
+    np.testing.assert_array_equal(i1, im)
+    np.testing.assert_allclose(v1, vm, atol=1e-5)

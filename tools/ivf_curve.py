@@ -1,0 +1,97 @@
+"""IVF recall@k-vs-nprobe + QPS curve artifact (VERDICT r2 item 6).
+
+Builds a balanced IVF over clustered synthetic unit vectors (mixture of
+Gaussians — the regime where sublinear probing pays; uniform random data
+has no cluster structure and needs nprobe ~ nlist), measures recall@k
+against the exact scan and queries/sec per nprobe, and writes
+IVF_CURVE.json at the repo root.
+
+Usage: python tools/ivf_curve.py [log2_N] [nlist]
+Defaults: N = 2^20 rows, nlist = 1024, k = 100, on whatever backend JAX
+picks (TPU via axon here; CPU works for recall, qps is then meaningless).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
+
+import jax
+import jax.numpy as jnp
+
+from _bench_util import bench
+from merizo_search_tpu.search import ivf as ivf_mod
+
+N = 1 << (int(sys.argv[1]) if len(sys.argv) > 1 else 20)
+NLIST = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+D, K, Q = 128, 100, 256
+NCENTERS = max(64, NLIST // 4)
+
+rng = np.random.default_rng(0)
+centers = rng.normal(size=(NCENTERS, D)).astype(np.float32) * 3
+emb = (centers[rng.integers(0, NCENTERS, N)]
+       + rng.normal(size=(N, D)).astype(np.float32))
+emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+q = emb[rng.choice(N, Q, replace=False)].copy()
+q += rng.normal(size=q.shape).astype(np.float32) * 0.05
+q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+print(f"# N={N}, nlist={NLIST}, Q={Q}, K={K}, backend={jax.default_backend()}")
+t0 = time.time()
+ivf = ivf_mod.build_ivf(emb, NLIST)
+build_s = time.time() - t0
+nlist = ivf["nlist"]
+dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+dbp = jax.device_put(jnp.asarray(
+    ivf_mod.permute_db(emb, ivf, np.dtype("bfloat16")
+                       if dtype == jnp.bfloat16 else np.float32)))
+cent = jax.device_put(jnp.asarray(ivf["centroids"]))
+perm = jax.device_put(jnp.asarray(ivf["perm"]))
+dq = jax.device_put(jnp.asarray(q).astype(dtype))
+interp = jax.default_backend() != "tpu"
+
+# exact reference ranking (host, f64-stable)
+s = q.astype(np.float64) @ emb.T.astype(np.float64)
+ref = np.argsort(-s, axis=1)[:, :K]
+
+points = []
+for nprobe in (4, 8, 16, 32, 64, 128):
+    if nprobe > nlist:
+        break
+    v, idx = ivf_mod.ivf_search(dq, dbp, cent, perm, K, nprobe,
+                                interpret=interp)
+    idx = np.asarray(idx)
+    recall = float(np.mean([len(set(idx[r]) & set(ref[r])) / K
+                            for r in range(Q)]))
+
+    def probe_fn(i, dq, dbp, cent, perm):
+        qq = jnp.roll(dq, i, axis=0)
+        v, ix = ivf_mod.ivf_search(qq, dbp, cent, perm, K, nprobe,
+                                   interpret=interp)
+        return jnp.sum(v) + jnp.sum(ix[:, 0].astype(jnp.float32))
+
+    t = bench(probe_fn, dq, dbp, cent, perm, rep=16)
+    qps = Q / t
+    frac = nprobe / nlist
+    points.append({"nprobe": nprobe, "recall_at_100": round(recall, 4),
+                   "qps": round(qps, 1), "db_fraction_probed": round(frac, 4)})
+    print(f"nprobe={nprobe:4d}  recall@100={recall:.4f}  qps={qps:9.1f}  "
+          f"({frac*100:.1f}% of DB probed)")
+
+out = {
+    "config": {"N": N, "D": D, "nlist": nlist, "k": K, "q_batch": Q,
+               "dtype": str(dtype.__name__), "backend": jax.default_backend(),
+               "data": f"mixture of {NCENTERS} gaussian clusters, unit-norm",
+               "build_seconds": round(build_s, 1),
+               "memory_bound": "device-resident only: permuted DB must fit "
+                               "the mesh HBM budget (engine gates with an "
+                               "error otherwise)"},
+    "points": points,
+}
+with open("/root/repo/IVF_CURVE.json", "w") as fh:
+    json.dump(out, fh, indent=1)
+print("wrote /root/repo/IVF_CURVE.json")
