@@ -103,3 +103,36 @@ def test_padded_matches_unpadded(golden, params):
     np.testing.assert_allclose(np.asarray(dm_p)[0, :n], np.asarray(dm_e)[0], atol=2e-3)
     assert (np.asarray(dm_p)[0, :n].argmax(-1) == np.asarray(dm_e)[0].argmax(-1)).mean() > 0.995
     assert (np.asarray(bg_p)[0, :n].argmax(-1) == np.asarray(bg_e)[0].argmax(-1)).mean() > 0.995
+
+
+def test_rotary_matches_published_rope_definition():
+    """Independent check of the rotary quirk path (VERDICT r2: the golden
+    was generated with a hand-written rotary_embedding_torch stand-in, so
+    golden parity alone could hide a stub+port co-drift). This pins the JAX
+    rotary against the PUBLISHED RoFormer definition (Su et al. 2021,
+    eq. 34: interleaved pairs (x_{2i}, x_{2i+1}) rotated by angle
+    pos * theta_i, theta_i = 10000^(-2i/d)) implemented here from the
+    formula with explicit 2x2 rotation matrices — independent of both the
+    stub and the port. rotary_embedding_torch's default path implements
+    exactly this definition (theta=10000, interleaved repeat, rotate_half
+    = stack((-x2, x1))), applied to the first dim*2 channels."""
+    from merizo_search_tpu.models.merizo import ipa as ipa_mod
+
+    rng = np.random.default_rng(5)
+    B, N, H, C = 2, 3, ipa_mod.N_HEADS, ipa_mod.C_HIDDEN
+    x = rng.normal(size=(B, N, H, C)).astype(np.float32)
+    got = np.asarray(ipa_mod._rotary(jnp.asarray(x)))
+
+    rot_dim = C // 2
+    d = rot_dim  # rotary "positions" are the head indices (the quirk)
+    theta = 10000.0 ** (-np.arange(0, d, 2, dtype=np.float64) / d)
+    want = x.copy().astype(np.float64)
+    for pos in range(H):  # head index acts as the position
+        for i, th in enumerate(theta):
+            a = pos * th
+            c, s = np.cos(a), np.sin(a)
+            x0 = x[:, :, pos, 2 * i].astype(np.float64)
+            x1 = x[:, :, pos, 2 * i + 1].astype(np.float64)
+            want[:, :, pos, 2 * i] = c * x0 - s * x1
+            want[:, :, pos, 2 * i + 1] = s * x0 + c * x1
+    np.testing.assert_allclose(got, want.astype(np.float32), atol=1e-5)
