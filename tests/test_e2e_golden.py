@@ -88,10 +88,18 @@ def test_easy_search_hitset_golden(toy_setup, examples_dir):
 
     outmm = str(root / "out" / "resmm")
     main(["easy-search", os.path.join(examples_dir, "3w5h.pdb"), dbmm, outmm,
-          str(root / "tmpmm"), "-k", "3"])
+          str(root / "tmpmm"), "-k", "3", "--multi_domain_search"])
     # mmap path: no mincov prefilter (reference parity) -> self-hits with
-    # their cosine/TM fields frozen
+    # their cosine/TM fields frozen; the multi-domain MDA matcher runs on
+    # the same hits and its TSV is frozen too
     _check(outmm + "_search.tsv", "e2e_search_mmap.tsv")
+    md = outmm + "_search_multi_dom.tsv"
+    if os.path.exists(md):
+        _check(md, "e2e_multidom.tsv")
+    else:
+        assert not os.path.exists(
+            os.path.join(GOLDEN_DIR, "e2e_multidom.tsv")), \
+            "multi-domain TSV disappeared but its golden exists"
 
 
 def test_search_mode_hitset_golden(toy_setup, examples_dir):
