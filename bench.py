@@ -48,7 +48,7 @@ HBM_GBPS = 819e9        # v5e nominal
 BF16_FLOPS = 197e12
 INT8_OPS = 394e12
 
-STREAM_LOGN = int(os.environ.get("MERIZO_BENCH_STREAM_LOGN", "25"))  # 33.5M
+STREAM_LOGN = int(os.environ.get("MERIZO_BENCH_STREAM_LOGN", "23"))  # 8.4M
 CACHE_ROOT = os.environ.get(
     "MERIZO_TPU_CACHE",
     os.path.join(os.path.expanduser("~"), ".cache", "merizo_tpu"))
@@ -86,13 +86,13 @@ def tpu_benchmarks(configs):
         return jnp.sum(v) + jnp.sum(idx[:, 0].astype(jnp.float32))
 
     # ---- config 2: 16M flat scan, bf16 + int8 -----------------------------
-    t_bf = bench(scan_fn, q0, db, rep=16)
+    t_bf = bench(scan_fn, q0, db, rep=5, inner=8)
     db8 = jax.jit(lambda d: jnp.clip(d * jnp.bfloat16(40), -127, 127)
                   .astype(jnp.int8))(db)
     rs8 = jnp.full((DB_N,), jnp.float32(1 / 40.0))
     q8 = jnp.asarray(np.clip(np.asarray(q0, np.float32) * 124,
                              -124, 124).astype(np.int8))
-    t_i8 = bench(scan_fn, q8, db8, rs8, rep=16)
+    t_i8 = bench(scan_fn, q8, db8, rs8, rep=5, inner=8)
 
     sol_bf = _sol_seconds(DB_N, N_QUERIES, 2, BF16_FLOPS)
     sol_i8 = _sol_seconds(DB_N, N_QUERIES, 1, INT8_OPS)
@@ -133,7 +133,7 @@ def tpu_benchmarks(configs):
     # ---- config 1: CATH-4.3 scale (~500k rows) ----------------------------
     n_cath = 1 << 19
     dbc = db[:n_cath]
-    t_c = bench(scan_fn, q0, dbc, rep=16)
+    t_c = bench(scan_fn, q0, dbc, rep=5, inner=32)
     configs["cath_exact"] = {
         "rows": n_cath, "bf16_ms_per_batch": round(t_c * 1e3, 3),
         "bf16_qps": round(N_QUERIES / t_c, 0),
@@ -171,7 +171,7 @@ def tpu_benchmarks(configs):
             return sum(jnp.sum(jnp.asarray(o, jnp.float32)[..., :1])
                        for o in jax.tree_util.tree_leaves(out))
 
-        tm = bench(seg_fn, sfeat, z, r, t_, ri, mask, rep=8)
+        tm = bench(seg_fn, sfeat, z, r, t_, ri, mask, rep=4, inner=8)
         seg[str(nres)] = {"ms": round(tm * 1e3, 1),
                           "reference_demo_ms": ref_ms[nres]}
         print(f"# segment fwd {nres}: {tm*1e3:.1f} ms "
@@ -192,7 +192,7 @@ def tpu_benchmarks(configs):
                      mask=cmask)
         return jnp.sum(e)
 
-    te = bench(emb_fn, coords, cmask, rep=16)
+    te = bench(emb_fn, coords, cmask, rep=4, inner=16)
     configs["createdb_embed"] = {
         "batch": bsz, "residues": nres,
         "structs_per_s": round(bsz / te, 0),
@@ -261,15 +261,33 @@ def stream_benchmark(configs):
     host_gbps = min(len(mm), 1 << 30) / (time.perf_counter() - t0) / 1e9
     del mm, acc, t_touch
 
+    # host->device bandwidth: on a production TPU VM this is a local PCIe/DMA
+    # link (~10-50 GB/s); HERE the chip sits behind a network tunnel, which
+    # becomes the binding constraint of stream mode — measure it and report
+    # both the measured qps and the local-host projection
+    import jax
+
+    buf = np.ones((1 << 27,), np.int8)  # 128 MB
+    jax.device_put(buf[: 1 << 20]).block_until_ready()
+    t_h2d = min(_timed(lambda: jax.device_put(buf).block_until_ready())
+                for _ in range(2))
+    h2d_gbps = buf.nbytes / t_h2d / 1e9
+
     db = codecs.FlatDB.open(prefix)
-    eng = SearchEngine(db, dtype=jnp.int8, max_device_gb=0.5)
+    eng = SearchEngine(db, dtype=jnp.int8, max_device_gb=0.05)
     assert eng.mode == "stream"
     rng = np.random.default_rng(1)
     q = rng.normal(size=(N_QUERIES, DIM)).astype(np.float32)
     eng.search(q, k=K)  # compile + page-cache warm
-    t = min(_timed(lambda: eng.search(q, k=K)) for _ in range(2))
+    t = _timed(lambda: eng.search(q, k=K))
     qps = N_QUERIES / t
     scan_gbps = n * DIM / t / 1e9
+    bytes_total = n * DIM
+    # projected wall-clock with a local host link: replace the h2d leg with
+    # 16 GB/s PCIe-class staging, keep the measured host read + device time
+    t_local = max(bytes_total / (host_gbps * 1e9),
+                  t - bytes_total / (h2d_gbps * 1e9)
+                  + bytes_total / 16e9)
     configs["ted_stream"] = {
         "rows": n, "dtype": "int8 (on-disk sidecar)",
         "q_batch": N_QUERIES,
@@ -277,14 +295,19 @@ def stream_benchmark(configs):
         "qps": round(qps, 1),
         "scan_GBps": round(scan_gbps, 2),
         "host_read_roofline_GBps": round(host_gbps, 2),
-        "roofline_fraction": round(scan_gbps / host_gbps, 2),
-        "note": "host-read-bound by design: the producer thread streams the "
-                "int8 sidecar (4x less IO than fp32) while the device scans "
-                "the previous superblock; TED-365M is this path at 11x rows",
+        "h2d_GBps_measured": round(h2d_gbps, 3),
+        "bottleneck": ("tunnel h2d" if h2d_gbps < host_gbps else "host read"),
+        "projected_qps_local_host_16GBps_pcie": round(N_QUERIES / t_local, 1),
+        "note": "this chip sits behind a network tunnel; stream mode stages "
+                "every superblock host->HBM, so the tunnel's h2d bandwidth "
+                "binds here. On a TPU VM (local PCIe) the same path is "
+                "host-read-bound; the int8 sidecar cuts that IO 4x vs fp32. "
+                "TED-365M is this path at 43x rows.",
     }
-    print(f"# stream {n} rows int8: {t:.2f} s/batch ({qps:.0f} q/s, "
-          f"{scan_gbps:.1f} GB/s vs host roofline {host_gbps:.1f} GB/s)",
-          file=sys.stderr)
+    print(f"# stream {n} rows int8: {t:.2f} s/batch ({qps:.1f} q/s, "
+          f"{scan_gbps:.2f} GB/s; h2d {h2d_gbps:.2f} GB/s, host read "
+          f"{host_gbps:.2f} GB/s, projected local-host qps "
+          f"{N_QUERIES/t_local:.0f})", file=sys.stderr)
 
 
 def reference_cpu_qps():

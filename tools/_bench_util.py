@@ -42,15 +42,31 @@ def dispatch_overhead(rep: int = 32) -> float:
     return _overhead_cache[rep]
 
 
-def bench(fn, *args, rep: int = 32, outer: int = 5, tag: str | None = None):
+def bench(fn, *args, rep: int = 32, outer: int = 5, inner: int = 1,
+          tag: str | None = None):
     """Median per-iteration seconds of `fn(i, *args)` (i = jnp.int32 index).
 
     fn must make its work depend on i (e.g. roll an index array by i) so
-    XLA cannot hoist it out of the measurement."""
+    XLA cannot hoist it out of the measurement, and must return a scalar
+    (accumulated across inner repeats — sums survive, DCE doesn't).
+
+    inner > 1 wraps fn in an in-graph fori_loop of `inner` iterations per
+    dispatch: tunnel-latency jitter on the per-dispatch overhead then
+    divides by `inner` (fn's scalar result is accumulated, so XLA cannot
+    elide iterations; only use when fn(i) at distinct i does identical
+    work)."""
+    if inner > 1:
+        base = fn
+
+        def fn(i, *a):  # noqa: F811 - deliberate wrapper
+            def body(j, acc):
+                return acc + jnp.float32(base(i * inner + j, *a))
+            return jax.lax.fori_loop(0, inner, body, jnp.float32(0))
+
     f = jax.jit(fn)
     _round(f, 2, args)  # compile + warm
     times = sorted(_round(f, rep, args) for _ in range(outer))
-    t = times[len(times) // 2] / rep - dispatch_overhead(rep)
+    t = (times[len(times) // 2] / rep - dispatch_overhead(rep)) / inner
     if tag is not None:
         print(f"{tag:46s} {t*1e3:8.3f} ms")
     return t

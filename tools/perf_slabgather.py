@@ -1,22 +1,25 @@
 """Experiment: phase-B BM slab gather formulations on the real TPU.
 
 The gather reads BM [Q, NSB, NBT] (128 MB at Q=256, N=16M) selecting ~102
-per-query superblock slabs. Floor = one streaming read (~0.16 ms); measured
-~0.7 ms via the batched one-hot einsum. Variants probe where the
-inefficiency lives.
+per-query superblock slabs; in-pipeline it costs ~0.7 ms (floor: one
+streaming read ~0.16 ms). Variants probe where the inefficiency lives.
+Uses the async-dispatch harness (_bench_util) — the earlier fori-loop
+harness was defeated by XLA loop-invariant hoisting.
 
 Usage: python tools/perf_slabgather.py [Q]
 """
 
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tools")
 
 import jax
 import jax.numpy as jnp
+
+from _bench_util import bench, dispatch_overhead
 
 N = 1 << 24
 D = 128
@@ -26,37 +29,12 @@ TILE = 32768
 BLOCK = 128
 NSB = N // TILE          # 512
 NBT = TILE // BLOCK      # 256
-REP = 32
-
-
-def timed(f):
-    t0 = time.perf_counter()
-    f()
-    return time.perf_counter() - t0
-
-
-def bench(fn, *args, rep=REP, tag=""):
-    @jax.jit
-    def repeated(*a):
-        def body(i, acc):
-            return acc + fn(i, *a)
-        return jax.lax.fori_loop(0, rep, body, jnp.float32(0))
-
-    _ = np.asarray(repeated(*args))
-    total = min(timed(lambda: np.asarray(repeated(*args))) for _ in range(3))
-    t = (total - RTT) / rep
-    print(f"{tag:44s} {t*1e3:7.3f} ms")
-    return t
-
 
 rng = np.random.default_rng(0)
 bm = jnp.asarray(rng.normal(size=(Q, NSB, NBT)).astype(np.float32))
 sbi0 = jnp.asarray(rng.integers(0, NSB, (Q, K)).astype(np.int32))
-
-triv = jax.jit(lambda x: x + 1)
-_ = np.asarray(triv(sbi0))
-RTT = min(timed(lambda: np.asarray(triv(sbi0))) for _ in range(5))
-print(f"# rtt {RTT*1e3:.1f} ms, Q={Q}, K={K}, NSB={NSB}, NBT={NBT}, rep={REP}")
+print(f"# dispatch overhead {dispatch_overhead()*1e6:.0f} us, "
+      f"Q={Q}, K={K}, NSB={NSB}, NBT={NBT}")
 
 
 def consume(x):
@@ -69,7 +47,8 @@ def v_onehot(prec, kpad=None, dtype=jnp.float32):
         if kpad:
             s = jnp.pad(s, ((0, 0), (0, kpad - K)))
         oh = (s[:, :, None] == jnp.arange(NSB)[None, None, :]).astype(dtype)
-        out = jnp.einsum("qks,qsb->qkb", oh, bm.astype(dtype) if dtype != jnp.float32 else bm,
+        out = jnp.einsum("qks,qsb->qkb", oh,
+                         bm.astype(dtype) if dtype != jnp.float32 else bm,
                          preferred_element_type=jnp.float32, precision=prec)
         return consume(out)
     return fn
@@ -93,7 +72,6 @@ def v_planes3(i, bm, sbi):
 
 
 def v_dotgen_swapped(i, bm, sbi):
-    """Contract as bm^T @ onehot^T to probe operand-order lowering."""
     s = (sbi + i) % NSB
     oh = (s[:, :, None] == jnp.arange(NSB)[None, None, :]).astype(jnp.float32)
     out = jnp.einsum("qsb,qks->qbk", bm, oh,
@@ -103,22 +81,17 @@ def v_dotgen_swapped(i, bm, sbi):
 
 
 variants = [
-    ("onehot f32 HIGHEST (current)",
-     v_onehot(jax.lax.Precision.HIGHEST)),
-    ("onehot f32 HIGH",
-     v_onehot(jax.lax.Precision.HIGH)),
-    ("onehot f32 DEFAULT",
-     v_onehot(jax.lax.Precision.DEFAULT)),
+    ("onehot f32 HIGHEST (current)", v_onehot(jax.lax.Precision.HIGHEST)),
+    ("onehot f32 HIGH", v_onehot(jax.lax.Precision.HIGH)),
+    ("onehot f32 DEFAULT", v_onehot(jax.lax.Precision.DEFAULT)),
     ("onehot f32 HIGHEST kpad128",
      v_onehot(jax.lax.Precision.HIGHEST, kpad=128)),
-    ("onehot 3xbf16 planes (exact)",
-     v_planes3),
-    ("onehot swapped operands HIGHEST",
-     v_dotgen_swapped),
+    ("onehot 3xbf16 planes (exact)", v_planes3),
+    ("onehot swapped operands HIGHEST", v_dotgen_swapped),
 ]
 
 for tag, fn in variants:
     try:
-        bench(fn, bm, sbi0, tag=tag)
-    except Exception as e:  # keep going past unsupported variants
-        print(f"{tag:44s} FAILED: {type(e).__name__}: {e}")
+        bench(fn, bm, sbi0, rep=16, tag=tag)
+    except Exception as e:
+        print(f"{tag:46s} FAILED: {type(e).__name__}: {e}")
