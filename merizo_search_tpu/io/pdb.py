@@ -185,6 +185,11 @@ def read_ca(path: str, chain: str = "A") -> dict:
     atom name ' CA ' and chain character at column 21; no altloc handling; unknown
     residues become 'X'.
 
+    The scan itself runs in a native C++ library when available
+    (io/_native/pdbparse.cpp, same record semantics, ~30x faster and
+    GIL-free so createdb's parser pool scales); the numpy path below is the
+    behavioural specification and the fallback.
+
     Returns {'coords': float32 [N,3], 'seq': str, 'name': path}.
     mmCIF inputs (.cif/.mmcif, optionally .gz) are dispatched to io.mmcif.
     """
@@ -196,6 +201,18 @@ def read_ca(path: str, chain: str = "A") -> dict:
         return read_ca_mmcif(path, chain)
     if len(chain) != 1:
         raise ValueError(f"Invalid chain ID: {chain!r}")
+    from . import native_parse
+
+    if native_parse.available():
+        with open(path, "rb") as fh:
+            raw = fh.read()
+        out = native_parse.parse_ca_bytes(raw, chain)
+        if out is not None:
+            coords, seq = out
+            if len(coords) == 0:
+                raise ValueError(
+                    f"Chain ID {chain!r} not present in PDB file {path}")
+            return {"coords": coords, "seq": seq, "name": path}
     mat = _line_matrix(path)
     rec = _col_str(mat, 0, 4)
     name4 = np.ascontiguousarray(mat[:, 12:16]).view("S4").ravel().astype("U4")

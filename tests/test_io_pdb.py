@@ -72,3 +72,44 @@ def test_mol_to_fasta(examples_dir):
     fasta = pdbio.mol_to_fasta(mol)
     ca = pdbio.read_ca(os.path.join(examples_dir, "AF-Q96HM7-F1-model_v4.pdb"))
     assert fasta == ca["seq"]
+
+
+def test_native_parser_matches_numpy(examples_dir):
+    """The C++ CA parser must agree byte-for-byte with the numpy reference
+    implementation on every bundled real structure (coords, sequence,
+    missing-chain behaviour)."""
+    from merizo_search_tpu.io import native_parse
+    from merizo_search_tpu.io.pdb import _col_float, _col_str, _line_matrix
+
+    if not native_parse.available():
+        import pytest
+
+        pytest.skip("native parser toolchain unavailable")
+
+    for fname in sorted(os.listdir(examples_dir)):
+        if not fname.endswith(".pdb"):
+            continue
+        path = os.path.join(examples_dir, fname)
+        with open(path, "rb") as fh:
+            raw = fh.read()
+        got = native_parse.parse_ca_bytes(raw, "A")
+        assert got is not None
+        coords, seq = got
+        # numpy specification path, inlined (read_ca now prefers native)
+        mat = _line_matrix(path)
+        rec = _col_str(mat, 0, 4)
+        name4 = np.ascontiguousarray(mat[:, 12:16]).view("S4").ravel().astype("U4")
+        keep = (rec == "ATOM") & (name4 == " CA ") & (mat[:, 21] == ord("A"))
+        sub = mat[keep]
+        ref = np.stack([_col_float(_col_str(sub, 30, 38)),
+                        _col_float(_col_str(sub, 38, 46)),
+                        _col_float(_col_str(sub, 46, 54))], axis=-1)
+        from merizo_search_tpu.utils.residues import THREE_TO_ONE
+
+        ref_seq = "".join(THREE_TO_ONE.get(r, "X")
+                          for r in _col_str(sub, 17, 20))
+        np.testing.assert_array_equal(coords, ref.astype(np.float32), fname)
+        assert seq == ref_seq, fname
+        # absent chain -> zero records (read_ca raises the same error)
+        c2, s2 = native_parse.parse_ca_bytes(raw, "9")
+        assert len(c2) == 0 and s2 == ""
