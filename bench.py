@@ -165,13 +165,15 @@ def tpu_benchmarks(configs):
         mask[:, nres:] = 0.0
         mask = jnp.asarray(mask)
 
-        def seg_fn(i, sfeat, z, r, t_, ri, mask):
+        def seg_fn(i, params, sfeat, z, r, t_, ri, mask):
+            # params as an ARGUMENT: closing over them embeds ~300 MB of
+            # weights as constants in the executable (and the compile cache)
             out = fwd(params, sfeat * (1.0 + i.astype(jnp.float32) * 1e-4),
                       z, r, t_, ri, mask)
             return sum(jnp.sum(jnp.asarray(o, jnp.float32)[..., :1])
                        for o in jax.tree_util.tree_leaves(out))
 
-        tm = bench(seg_fn, sfeat, z, r, t_, ri, mask, rep=4, inner=8)
+        tm = bench(seg_fn, params, sfeat, z, r, t_, ri, mask, rep=4, inner=8)
         seg[str(nres)] = {"ms": round(tm * 1e3, 1),
                           "reference_demo_ms": ref_ms[nres]}
         print(f"# segment fwd {nres}: {tm*1e3:.1f} ms "
@@ -186,13 +188,13 @@ def tpu_benchmarks(configs):
     coords = jnp.asarray(rng.normal(size=(bsz, nres, 3)).astype(np.float32))
     cmask = jnp.ones((bsz, nres), jnp.float32)
 
-    def emb_fn(i, coords, cmask):
+    def emb_fn(i, fparams, coords, cmask):
         e = fc.embed(params=fparams,
                      coords=coords * (1.0 + i.astype(jnp.float32) * 1e-4),
                      mask=cmask)
         return jnp.sum(e)
 
-    te = bench(emb_fn, coords, cmask, rep=4, inner=16)
+    te = bench(emb_fn, fparams, coords, cmask, rep=4, inner=16)
     configs["createdb_embed"] = {
         "batch": bsz, "residues": nres,
         "structs_per_s": round(bsz / te, 0),

@@ -162,7 +162,8 @@ def _tm_iterate(x, yj, w, seed, d0, d0s, lnorm, n_iter):
                             jnp.where(jnp.sum(s3) >= 4, s3, w)))
         return (sel_new, best_score, best_r, best_t), None
 
-    init = (seed, jnp.float32(-1.0), jnp.eye(3), jnp.zeros(3))
+    init = (seed, np.float32(-1.0), np.eye(3, dtype=np.float32),
+            np.zeros(3, np.float32))
     (sel, sc, r, t), _ = jax.lax.scan(body, init, None, length=n_iter)
     return sc, r, t
 
@@ -240,7 +241,7 @@ def _tmalign_batch(x, xm, y, ym, n_refine, n_tm_iter):
             ali_new = _dp_align(S, nx, ny)
             return (ali_new, best_score, best_ali), None
 
-        init = (ali, jnp.float32(-1.0), ali)
+        init = (ali, np.float32(-1.0), ali)
         (ali_last, best_score, best_ali), _ = jax.lax.scan(
             refine, init, None, length=n_refine)
         # evaluate the last alignment too

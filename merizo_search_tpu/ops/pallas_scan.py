@@ -49,7 +49,7 @@ from jax.experimental.pallas import tpu as pltpu
 BLOCK = 128        # rows per selection block (= lane width)
 DEFAULT_TILE = 32768  # DB rows per grid step: bf16 tile = 8 MB VMEM
 
-NEG_INF = jnp.float32(-jnp.inf)
+NEG_INF = np.float32(-np.inf)
 
 
 QTILE = 128  # queries per inner kernel step (fills the MXU's 128 output lanes)
@@ -110,7 +110,7 @@ def _bm_kernel(nv_ref, q_ref, db_ref, tlen_ref, qcap_ref, *rest, tile,
                 preferred_element_type=jnp.int32)        # [tile, qt]
             s = s.reshape(nbt, BLOCK, qt)
             if use_len:
-                sentinel = jnp.int32(-(2 ** 31) + 1)
+                sentinel = np.int32(-(2 ** 31) + 1)
                 mask = (tlen_ref[:].reshape(nbt, BLOCK, 1)
                         <= qcap_ref[0:1, j * qt:(j + 1) * qt].reshape(1, 1, qt))
                 s = jnp.where(mask, s, sentinel)
@@ -134,8 +134,8 @@ def _bm_kernel(nv_ref, q_ref, db_ref, tlen_ref, qcap_ref, *rest, tile,
         # keeps -inf out of BM so phase B's one-hot gathers need no NaN
         # guard; exact -inf for masked rows is restored by the phase-C
         # rescore), and bf16 tlen-masked -inf maxima are clamped likewise.
-        bmt = jnp.where(blk_valid, jnp.maximum(bmt, jnp.float32(-3.4e38)),
-                        jnp.float32(-3.4e38))
+        bmt = jnp.where(blk_valid, jnp.maximum(bmt, np.float32(-3.4e38)),
+                        np.float32(-3.4e38))
         if len(bm_ref.shape) == 3:
             bm_ref[0, j * qt:(j + 1) * qt, :] = bmt      # unaligned-tile path
         else:
@@ -268,7 +268,7 @@ def quantize_blocks(x: np.ndarray, block: int = BLOCK):
 
 
 SUB = 8  # minimum subblock width for the recursive cover select
-NEG_CAP = jnp.float32(-3.4e38)  # finite stand-in for -inf during selection
+NEG_CAP = np.float32(-3.4e38)  # finite stand-in for -inf during selection
 
 
 def _best_factor(n: int, cap: int = 8192) -> int:
@@ -408,7 +408,7 @@ def gather_block_scores_dma(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
     kb = bidx.shape[1]
     n_side = (1 if use_len else 0) + (1 if quantized else 0)
 
-    def kernel(bidx_ref, nv_ref, qcap_ref, q_ref, db_ref, *rest):
+    def kernel(bidx_ref, nv_ref, qcap_ref, bidxv_ref, q_ref, db_ref, *rest):
         side_refs = rest[:n_side]            # tlen2d / scales2d (HBM)
         out_ref = rest[n_side]
         scratch = rest[n_side + 1]           # [2, KB*BLOCK, D] db dtype
@@ -417,6 +417,11 @@ def gather_block_scores_dma(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
         side_sems = rest[len(rest) - n_side:] if n_side else ()
         i = pl.program_id(0)
 
+        # NOTE: the copy loops are deliberately NOT unrolled — 102 unrolled
+        # async-copy bodies made the host-side jaxpr->MLIR lowering of this
+        # kernel take ~90 s per process (paid even on persistent-cache hits,
+        # which key on the lowered module); a dynamic fori_loop issues the
+        # same DMAs with negligible loop overhead next to ~2 us copies.
         def issue(qi, sl):
             def body(j, _):
                 b = jnp.maximum(bidx_ref[qi, j], 0)
@@ -430,7 +435,7 @@ def gather_block_scores_dma(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
                         side_s[sx].at[sl, :, pl.ds(j * BLOCK, BLOCK)],
                         side_sems[sx].at[sl]).start()
                 return _
-            jax.lax.fori_loop(0, kb, body, 0, unroll=True)
+            jax.lax.fori_loop(0, kb, body, 0)
 
         @pl.when(i == 0)
         def _():
@@ -453,7 +458,7 @@ def gather_block_scores_dma(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
                     side_s[sx].at[slot, :, pl.ds(0, BLOCK)],
                     side_sems[sx].at[slot]).wait()
             return _
-        jax.lax.fori_loop(0, kb, wait_body, 0, unroll=True)
+        jax.lax.fori_loop(0, kb, wait_body, 0)
 
         blocks = scratch[slot]                                   # [KB*BLOCK, D]
         rows = jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[0], 1), 0)
@@ -469,9 +474,12 @@ def gather_block_scores_dma(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
             s = jax.lax.dot_general(
                 q_row, blocks, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)              # [1, KB*BLOCK]
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, BLOCK), 1)
-        cols = jnp.concatenate(
-            [bidx_ref[i, j] * BLOCK + lane for j in range(kb)], axis=1)
+        # per-candidate db row id, vectorised from the VMEM copy of bidx
+        # (a python concat of kb scalar-broadcast segments lowers ~3x slower)
+        qrow = jnp.sum(jnp.where(rows == i, bidxv_ref[:], np.int32(0)),
+                       axis=0)                                   # [KB]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (kb, BLOCK), 1)
+        cols = (qrow[:, None] * BLOCK + lane).reshape(1, kb * BLOCK)
         mask = jnp.logical_and(cols >= 0, cols < nv_ref[0])      # bidx<0 = pad
         sx = 0
         if use_len:
@@ -494,7 +502,8 @@ def gather_block_scores_dma(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(qp,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]        # q whole
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),        # bidx (VMEM)
+                  pl.BlockSpec(memory_space=pltpu.VMEM)]        # q whole
                  + [pl.BlockSpec(memory_space=pltpu.ANY)] * (1 + n_side),
         out_specs=pl.BlockSpec((1, 1, kb * BLOCK), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -507,7 +516,10 @@ def gather_block_scores_dma(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((qp, 1, kb * BLOCK), jnp.float32),
-    )(bidx, jnp.asarray([n_valid], jnp.int32), qcap, q, db, *side_args)
+        # the double-buffered scratch exceeds the default scoped-vmem budget
+        # for wide gathers (IVF probes can select hundreds of blocks)
+        compiler_params=_compiler_params(100 * 1024 * 1024),
+    )(bidx, jnp.asarray([n_valid], jnp.int32), qcap, bidx, q, db, *side_args)
     return out.reshape(qp, kb * BLOCK)
 
 
@@ -671,11 +683,11 @@ def fused_topk(q, db, n_valid, k, tlen=None, qlen=None, mincov=0.0,
     # qlen >= tlen*mincov (reference dbsearch.py:76) — dividing qlen by mincov
     # instead would disagree at f32 coverage boundaries.
     if use_len:
-        tl = tlen * jnp.float32(mincov)
+        tl = tlen * jnp.asarray(mincov, jnp.float32)
         qcap = jnp.pad(qlen, (0, qp - qn)) if qp != qn else qlen
     else:
         tl = (tlen if tlen is not None else jnp.zeros((npad,), jnp.float32))
-        qcap = jnp.full((qp,), jnp.float32(np.inf))
+        qcap = jnp.full((qp,), np.float32(np.inf))
 
     # Phase A: block maxima at HBM bandwidth
     nsb_ = npad // tile

@@ -228,16 +228,24 @@ def _probe_and_select(q, db_perm, perm, bidx, k, tlen, qlen, mincov, use_len,
     # mapped back through perm.
     nb = db_perm.shape[0] // BLOCK
     kbp = bidx.shape[1]
-    pad_inf = jnp.where(perm >= 0, 0.0, jnp.float32(np.inf))
+    pad_inf = jnp.where(perm >= 0, 0.0, np.float32(np.inf))
     if use_len:
-        tl2d = (tlen * jnp.float32(mincov) + pad_inf).reshape(nb, BLOCK)
+        tl2d = (tlen * jnp.asarray(mincov, jnp.float32)
+                + pad_inf).reshape(nb, BLOCK)
         qcap = jnp.pad(qlen, (0, qp - qn)) if qp != qn else qlen
     else:
         tl2d = pad_inf.reshape(nb, BLOCK)
-        qcap = jnp.full((qp,), jnp.float32(3e38))
-    scores = ps.gather_block_scores(
-        q, db_perm, tl2d, qcap, bidx.astype(jnp.int32),
-        db_perm.shape[0], use_len=True, interpret=interpret, scales=scales)
+        qcap = jnp.full((qp,), np.float32(3e38))
+    if interpret:
+        scores = ps.gather_block_scores(
+            q, db_perm, tl2d, qcap, bidx.astype(jnp.int32),
+            db_perm.shape[0], use_len=True, interpret=True, scales=scales)
+    else:  # TPU: kernel-managed DMA gather (deep copy pipeline)
+        scores = ps.gather_block_scores_dma(
+            q, db_perm, tl2d, qcap, bidx.astype(jnp.int32),
+            db_perm.shape[0], use_len=True, quantized=scales is not None,
+            scales2d=None if scales is None
+            else scales.reshape(-1, BLOCK))
     ridx = (bidx[:, :, None] * BLOCK
             + jnp.arange(BLOCK)[None, None, :]).reshape(qp, kbp * BLOCK)
     v, sel = ps._topk_entries(scores, k)

@@ -27,19 +27,33 @@ def _round(f, rep, args):
     return time.perf_counter() - t0
 
 
-_overhead_cache: dict[int, float] = {}
+_cal_cache: list[tuple[float, float]] = []
 
 
-def dispatch_overhead(rep: int = 32) -> float:
-    """Per-call host dispatch cost, measured on a trivial jitted op."""
-    if rep in _overhead_cache:
-        return _overhead_cache[rep]
+def _calibrate() -> tuple[float, float]:
+    """(per-dispatch overhead, blocking round-trip) of a trivial jitted op.
+
+    A round of rep dispatches costs rep*dispatch + rtt + rep*work: the
+    blocking round-trip is paid once per round. Calibrating at two repeat
+    counts separates the two, so callers can subtract each at the right
+    multiplicity (folding rtt into a per-call 'overhead' at small rep wipes
+    out the entire measurement)."""
+    if _cal_cache:
+        return _cal_cache[0]
     x = jnp.zeros((8, 128), jnp.float32)
     f = jax.jit(lambda i, x: x + i)
     _round(f, 4, (x,))
-    t = min(_round(f, rep, (x,)) for _ in range(5))
-    _overhead_cache[rep] = t / rep
-    return _overhead_cache[rep]
+    r1 = min(_round(f, 1, (x,)) for _ in range(7))     # dispatch + rtt
+    r64 = min(_round(f, 64, (x,)) for _ in range(5))   # 64*dispatch + rtt
+    disp = max((r64 - r1) / 63.0, 0.0)
+    rtt = max(r1 - disp, 0.0)
+    _cal_cache.append((disp, rtt))
+    return _cal_cache[0]
+
+
+def dispatch_overhead(rep: int = 64) -> float:
+    """Per-call host dispatch cost (back-compat accessor)."""
+    return _calibrate()[0]
 
 
 def bench(fn, *args, rep: int = 32, outer: int = 5, inner: int = 1,
@@ -65,8 +79,10 @@ def bench(fn, *args, rep: int = 32, outer: int = 5, inner: int = 1,
 
     f = jax.jit(fn)
     _round(f, 2, args)  # compile + warm
+    disp, rtt = _calibrate()
     times = sorted(_round(f, rep, args) for _ in range(outer))
-    t = (times[len(times) // 2] / rep - dispatch_overhead(rep)) / inner
+    t = ((times[len(times) // 2] - rtt) / rep - disp) / inner
+    t = max(t, 0.0)
     if tag is not None:
         print(f"{tag:46s} {t*1e3:8.3f} ms")
     return t
