@@ -300,13 +300,13 @@ def _gather_subblocks(sb, sbi):
     if a > 1:
         b = nsb // a
         hi, lo = sbi // b, sbi % b
-        ohh = (hi[:, :, None] == jnp.arange(a)[None, None, :]).astype(jnp.float32)
+        ohh = (hi[:, :, None] == np.arange(a)[None, None, :]).astype(jnp.float32)
         t = jnp.einsum("qka,qac->qkc", ohh, sb.reshape(qn, a, b * sub),
                        preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)
-        ohl = (lo[:, :, None] == jnp.arange(b)[None, None, :]).astype(jnp.float32)
+        ohl = (lo[:, :, None] == np.arange(b)[None, None, :]).astype(jnp.float32)
         return jnp.sum(t.reshape(qn, kk, b, sub) * ohl[:, :, :, None], axis=2)
-    onehot = (sbi[:, :, None] == jnp.arange(nsb)[None, None, :]).astype(jnp.float32)
+    onehot = (sbi[:, :, None] == np.arange(nsb)[None, None, :]).astype(jnp.float32)
     return jnp.einsum("qkb,qbc->qkc", onehot, sb,
                       preferred_element_type=jnp.float32,
                       precision=jax.lax.Precision.HIGHEST)
@@ -373,7 +373,7 @@ def _gather_int(src, sel):
     values < 2^24 (fp32 integer range) — selection ids and block ids are
     far below that."""
     qn, w = src.shape
-    onehot = (sel[:, :, None] == jnp.arange(w)[None, None, :]).astype(jnp.float32)
+    onehot = (sel[:, :, None] == np.arange(w)[None, None, :]).astype(jnp.float32)
     out = jnp.einsum("qkw,qw->qk", onehot, src.astype(jnp.float32),
                      preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)
@@ -405,7 +405,12 @@ def gather_block_scores_dma(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
     Returns scores [Qp, KB*BLOCK] f32, -inf where masked/padded."""
     qp, d = q.shape
     nb = db.shape[0] // BLOCK
+    UNROLL = 6  # copies issued per loop iteration (see kernel note)
     kb = bidx.shape[1]
+    if kb % UNROLL:
+        bidx = jnp.pad(bidx, ((0, 0), (0, UNROLL - kb % UNROLL)),
+                       constant_values=-1)
+        kb = bidx.shape[1]
     n_side = (1 if use_len else 0) + (1 if quantized else 0)
 
     def kernel(bidx_ref, nv_ref, qcap_ref, bidxv_ref, q_ref, db_ref, *rest):
@@ -417,25 +422,29 @@ def gather_block_scores_dma(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
         side_sems = rest[len(rest) - n_side:] if n_side else ()
         i = pl.program_id(0)
 
-        # NOTE: the copy loops are deliberately NOT unrolled — 102 unrolled
-        # async-copy bodies made the host-side jaxpr->MLIR lowering of this
-        # kernel take ~90 s per process (paid even on persistent-cache hits,
-        # which key on the lowered module); a dynamic fori_loop issues the
-        # same DMAs with negligible loop overhead next to ~2 us copies.
+        # NOTE: the copy loops are PARTIALLY unrolled (UNROLL copies per
+        # dynamic fori iteration). Fully unrolling all ~100 async-copy
+        # bodies made the host-side jaxpr->MLIR lowering of this kernel take
+        # ~90 s per process (paid even on persistent-cache hits, which key
+        # on the lowered module); a fully dynamic loop costs ~4 ms/batch of
+        # scalar-core loop overhead. kb is padded to a multiple of UNROLL
+        # (-1 columns are masked).
         def issue(qi, sl):
-            def body(j, _):
-                b = jnp.maximum(bidx_ref[qi, j], 0)
-                pltpu.make_async_copy(
-                    db_ref.at[pl.ds(b * BLOCK, BLOCK), :],
-                    scratch.at[sl, pl.ds(j * BLOCK, BLOCK), :],
-                    sem.at[sl]).start()
-                for sx in range(n_side):
+            def body(jj, _):
+                for u in range(UNROLL):
+                    j = jj * UNROLL + u
+                    b = jnp.maximum(bidx_ref[qi, j], 0)
                     pltpu.make_async_copy(
-                        side_refs[sx].at[pl.ds(b, 1), :],
-                        side_s[sx].at[sl, :, pl.ds(j * BLOCK, BLOCK)],
-                        side_sems[sx].at[sl]).start()
+                        db_ref.at[pl.ds(b * BLOCK, BLOCK), :],
+                        scratch.at[sl, pl.ds(j * BLOCK, BLOCK), :],
+                        sem.at[sl]).start()
+                    for sx in range(n_side):
+                        pltpu.make_async_copy(
+                            side_refs[sx].at[pl.ds(b, 1), :],
+                            side_s[sx].at[sl, :, pl.ds(j * BLOCK, BLOCK)],
+                            side_sems[sx].at[sl]).start()
                 return _
-            jax.lax.fori_loop(0, kb, body, 0)
+            jax.lax.fori_loop(0, kb // UNROLL, body, 0)
 
         @pl.when(i == 0)
         def _():
@@ -447,18 +456,19 @@ def gather_block_scores_dma(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
 
         slot = i % 2
 
-        def wait_body(j, _):
-            pltpu.make_async_copy(
-                db_ref.at[pl.ds(0, BLOCK), :],
-                scratch.at[slot, pl.ds(0, BLOCK), :],
-                sem.at[slot]).wait()
-            for sx in range(n_side):
+        def wait_body(jj, _):
+            for u in range(UNROLL):
                 pltpu.make_async_copy(
-                    side_refs[sx].at[pl.ds(0, 1), :],
-                    side_s[sx].at[slot, :, pl.ds(0, BLOCK)],
-                    side_sems[sx].at[slot]).wait()
+                    db_ref.at[pl.ds(0, BLOCK), :],
+                    scratch.at[slot, pl.ds(0, BLOCK), :],
+                    sem.at[slot]).wait()
+                for sx in range(n_side):
+                    pltpu.make_async_copy(
+                        side_refs[sx].at[pl.ds(0, 1), :],
+                        side_s[sx].at[slot, :, pl.ds(0, BLOCK)],
+                        side_sems[sx].at[slot]).wait()
             return _
-        jax.lax.fori_loop(0, kb, wait_body, 0)
+        jax.lax.fori_loop(0, kb // UNROLL, wait_body, 0)
 
         blocks = scratch[slot]                                   # [KB*BLOCK, D]
         rows = jax.lax.broadcasted_iota(jnp.int32, (q_ref.shape[0], 1), 0)
@@ -686,8 +696,14 @@ def fused_topk(q, db, n_valid, k, tlen=None, qlen=None, mincov=0.0,
         tl = tlen * jnp.asarray(mincov, jnp.float32)
         qcap = jnp.pad(qlen, (0, qp - qn)) if qp != qn else qlen
     else:
-        tl = (tlen if tlen is not None else jnp.zeros((npad,), jnp.float32))
-        qcap = jnp.full((qp,), np.float32(np.inf))
+        # symbolic (tracer-derived) fills: a plain jnp.zeros/full here runs
+        # EAGERLY during tracing, materialises an npad-sized device array,
+        # and the lowering-time constant fetch of it through the remote
+        # tunnel costs minutes per process
+        tl = (tlen if tlen is not None
+              else jnp.zeros_like(db, shape=(npad,), dtype=jnp.float32))
+        qcap = jnp.full_like(q, np.float32(np.inf), shape=(qp,),
+                             dtype=jnp.float32)
 
     # Phase A: block maxima at HBM bandwidth
     nsb_ = npad // tile
@@ -730,7 +746,7 @@ def fused_topk(q, db, n_valid, k, tlen=None, qlen=None, mincov=0.0,
         # (kernel clamps to -3.4e38) so no NaN guard is needed; dedup'd -1
         # rows match no one-hot column (slab of zeros) and are floored below
         # so they can never displace a real candidate.
-        onehot = (sbi[:, :, None] == jnp.arange(nsb)[None, None, :]
+        onehot = (sbi[:, :, None] == np.arange(nsb)[None, None, :]
                   ).astype(jnp.float32)
         cand_bm = jnp.einsum("qks,qsb->qkb", onehot,
                              bm.reshape(qp, nsb, nbt),

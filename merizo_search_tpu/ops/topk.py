@@ -74,13 +74,13 @@ def _select_chunk(s, gstart, k, selection, recall_target):
         # scores, so gather a double-bf16 decomposition (hi + residual):
         # onehot entries are exactly 0/1, accumulation is fp32, giving
         # ~16-bit-mantissa accurate candidate values.
-        onehot = (bidx[:, :, None] == jnp.arange(nb)[None, None, :]).astype(jnp.bfloat16)
+        onehot = (bidx[:, :, None] == np.arange(nb)[None, None, :]).astype(jnp.bfloat16)
         hi = sb.astype(jnp.bfloat16)
         # -inf (masked) rows: -inf - -inf = nan; zero the residual there
         lo = jnp.where(jnp.isfinite(sb), sb - hi.astype(jnp.float32), 0.0).astype(jnp.bfloat16)
         cand = (jnp.einsum("qkb,qbc->qkc", onehot, hi, preferred_element_type=jnp.float32)
                 + jnp.einsum("qkb,qbc->qkc", onehot, lo, preferred_element_type=jnp.float32))
-        cidx = (bidx[:, :, None] * BLOCK + jnp.arange(BLOCK)[None, None, :])
+        cidx = (bidx[:, :, None] * BLOCK + np.arange(BLOCK)[None, None, :])
         return (cand.reshape(qn, k * BLOCK),
                 gstart + cidx.reshape(qn, k * BLOCK).astype(jnp.int32))
     # small chunk: plain top_k is fine
@@ -111,10 +111,11 @@ def topk_scan(q, db, n_valid, k, chunk, tlen=None, qlen=None, mincov=0.0,
     nchunks = npad // chunk
     dbr = db.reshape(nchunks, chunk, d)
     tl = (tlen.reshape(nchunks, chunk) if tlen is not None
-          else jnp.zeros((nchunks, chunk), jnp.float32))
-    starts = jnp.arange(nchunks, dtype=jnp.int32) * chunk
+          else jnp.zeros_like(db, shape=(nchunks, chunk), dtype=jnp.float32))
+    starts = np.arange(nchunks, dtype=np.int32) * chunk
 
-    init = (jnp.full((qn, k), NEG_INF), jnp.full((qn, k), -1, jnp.int32))
+    init = (jnp.full_like(q, NEG_INF, shape=(qn, k), dtype=jnp.float32),
+            jnp.full_like(q, -1, shape=(qn, k), dtype=jnp.int32))
 
     def body(carry, x):
         blk, tlens, start = x
@@ -124,7 +125,7 @@ def topk_scan(q, db, n_valid, k, chunk, tlen=None, qlen=None, mincov=0.0,
         # single-pass MXU path.
         s = jnp.dot(q, blk.T, preferred_element_type=jnp.float32,
                     precision=precision)
-        gi = start + jnp.arange(chunk, dtype=jnp.int32)
+        gi = start + np.arange(chunk, dtype=np.int32)
         s = jnp.where(gi[None, :] < n_valid, s, NEG_INF)
         if qlen is not None:
             s = jnp.where(qlen[:, None] >= tlens[None, :] * mincov, s, NEG_INF)

@@ -198,7 +198,7 @@ def _probe_blocks(q, centroids, nprobe, bpc, nlist_local=None, me=None):
         probe = jnp.where((lp >= 0) & (lp < nlist_local), lp, -1)
     bidx = jnp.where(
         probe[:, :, None] >= 0,
-        probe[:, :, None] * bpc + jnp.arange(bpc)[None, None, :],
+        probe[:, :, None] * bpc + np.arange(bpc)[None, None, :],
         -1).reshape(qn, probe.shape[1] * bpc)
     kbp = -(-bidx.shape[1] // ps.GATHER_G) * ps.GATHER_G
     return jnp.pad(bidx, ((0, 0), (0, kbp - bidx.shape[1])),
@@ -235,7 +235,8 @@ def _probe_and_select(q, db_perm, perm, bidx, k, tlen, qlen, mincov, use_len,
         qcap = jnp.pad(qlen, (0, qp - qn)) if qp != qn else qlen
     else:
         tl2d = pad_inf.reshape(nb, BLOCK)
-        qcap = jnp.full((qp,), np.float32(3e38))
+        qcap = jnp.full_like(q, np.float32(3e38), shape=(qp,),
+                             dtype=jnp.float32)
     if interpret:
         scores = ps.gather_block_scores(
             q, db_perm, tl2d, qcap, bidx.astype(jnp.int32),
@@ -247,7 +248,7 @@ def _probe_and_select(q, db_perm, perm, bidx, k, tlen, qlen, mincov, use_len,
             scales2d=None if scales is None
             else scales.reshape(-1, BLOCK))
     ridx = (bidx[:, :, None] * BLOCK
-            + jnp.arange(BLOCK)[None, None, :]).reshape(qp, kbp * BLOCK)
+            + np.arange(BLOCK)[None, None, :]).reshape(qp, kbp * BLOCK)
     v, sel = ps._topk_entries(scores, k)
     pidx = jnp.take_along_axis(ridx, sel, axis=1)          # permuted rows
     idx = perm[jnp.clip(pidx, 0, len(perm) - 1)].astype(jnp.int32)
