@@ -112,18 +112,27 @@ def tpu_benchmarks(configs):
                     "blocks for the exact rescore, which SoL excludes",
     }
 
-    # recall sanity: exact selection must match fp32 numpy brute force
+    # recall sanity: exact selection must match fp32 brute force. The
+    # reference ranking is computed ON DEVICE — device->host readback
+    # through this tunnel runs at ~0.2 MB/s, so fetching a 67 MB DB slice
+    # for a numpy brute force silently cost ~5 minutes; only the [Q,K]
+    # rankings come back.
     sl = 1 << 17
-    dbn = np.asarray(db[:sl], np.float32)
-    qn = np.asarray(q0, np.float32)
-    s = qn @ dbn.T
-    ref_top = np.argsort(-s, axis=1)[:, :K]
-    ref_kth = np.take_along_axis(s, ref_top, 1)[:, -1]
-    vv, ii = fused_topk(jnp.asarray(qn), jnp.asarray(dbn), sl, K, tile=8192)
-    ii = np.asarray(ii)
+
+    @jax.jit
+    def _brute_ref(q, dbs):
+        s = jnp.dot(q.astype(jnp.float32), dbs.astype(jnp.float32).T,
+                    precision=jax.lax.Precision.HIGHEST)
+        vals, idx = jax.lax.top_k(s, K)
+        return vals, idx
+
+    ref_v, ref_i = _brute_ref(q0, db[:sl])
+    vv, ii = fused_topk(q0, db[:sl], sl, K, tile=8192)
+    ref_v, ref_i, ii = (np.asarray(x) for x in (ref_v, ref_i, ii))
+    ref_kth = ref_v[:, -1]
     rec = np.mean([
-        len(set(ii[r]) & set(ref_top[r][s[r][ref_top[r]] > ref_kth[r] + 1e-5])) /
-        max(1, len(ref_top[r][s[r][ref_top[r]] > ref_kth[r] + 1e-5]))
+        len(set(ii[r]) & set(ref_i[r][ref_v[r] > ref_kth[r] + 1e-5])) /
+        max(1, len(ref_i[r][ref_v[r] > ref_kth[r] + 1e-5]))
         for r in range(N_QUERIES)])
     configs["flat_scan_16M"]["recall_at_100"] = round(float(rec), 4)
     print(f"# 16M scan: bf16 {t_bf*1e3:.2f} ms/batch ({qps:.0f} q/s, "

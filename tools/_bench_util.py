@@ -14,16 +14,24 @@ from __future__ import annotations
 
 import time
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
 
 def _round(f, rep, args):
+    """One timed round: rep async dispatches, then one SMALL VALUE FETCH of
+    the last result. On the axon-tunnelled TPU, block_until_ready returns
+    immediately (broken async semantics on the experimental platform), so
+    blocking must go through an actual device-to-host read; fn's outputs
+    must therefore be tiny scalars."""
     t0 = time.perf_counter()
     out = None
     for i in range(rep):
         out = f(jnp.int32(i), *args)
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
+    for leaf in jax.tree_util.tree_leaves(out):
+        np.asarray(leaf)
     return time.perf_counter() - t0
 
 
