@@ -409,6 +409,30 @@ def _gather_int(src, sel):
     return out.astype(jnp.int32)
 
 
+def _gather_blockvec_f32(vec, ids):
+    """out[q, j] = vec[ids[q, j]] for f32 vec [W], ids [Q, J] i32 (>= 0).
+
+    Factorised one-hot contraction (W = A*B: row-group matmul + in-group
+    select), same bit-exactness argument as _gather_subblocks — used to
+    gather per-block dequant scales so phase C needs no scale DMAs."""
+    w = vec.shape[0]
+    qn, jj = ids.shape
+    a = _best_factor(w) if w >= 1024 else 1
+    if a > 1:
+        b = w // a
+        hi, lo = ids // b, ids % b
+        ohh = (hi[:, :, None] == np.arange(a)[None, None, :]).astype(jnp.float32)
+        t = jnp.einsum("qja,ab->qjb", ohh, vec.reshape(a, b),
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        ohl = (lo[:, :, None] == np.arange(b)[None, None, :]).astype(jnp.float32)
+        return jnp.sum(t * ohl, axis=2)
+    onehot = (ids[:, :, None] == np.arange(w)[None, None, :]).astype(jnp.float32)
+    return jnp.einsum("qjw,w->qj", onehot, vec,
+                      preferred_element_type=jnp.float32,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 GATHER_G = 25  # retained for callers that pre-pad bidx; gather_block_scores
                # itself now picks the group size per kb (see _pick_gather_g)
 
@@ -428,6 +452,14 @@ def gather_block_scores_dma(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
     from one group (~34 copies) to the whole query (~100), hiding more of
     the per-copy latency of small (16-32 KB) random reads.
 
+    Dequantisation scales do NOT ride DMA: they are block-uniform scalars
+    (quantize_blocks layout), so the kernel emits raw masked int32-as-f32
+    scores and the [Qp, KB] per-block scale matrix — gathered from the
+    [NB] block-scale vector with a factorised one-hot contraction — is
+    multiplied on afterwards in XLA. The per-block 512 B scale-row copies
+    this replaces were HALF of all DMAs issued (all of them latency-bound).
+    -inf masking survives the multiply exactly since scales are positive.
+
     q [Qp,D] (int8 when quantized else db dtype), db [Npad,D],
     tlen2d [NB,BLOCK] f32, qcap [Qp] f32, bidx [Qp,KB] i32 (-1 = padding),
     scales2d [NB,BLOCK] f32 (quantized only).
@@ -440,7 +472,7 @@ def gather_block_scores_dma(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
         bidx = jnp.pad(bidx, ((0, 0), (0, UNROLL - kb % UNROLL)),
                        constant_values=-1)
         kb = bidx.shape[1]
-    n_side = (1 if use_len else 0) + (1 if quantized else 0)
+    n_side = 1 if use_len else 0
 
     def kernel(bidx_ref, nv_ref, qcap_ref, bidxv_ref, q_ref, db_ref, *rest):
         side_refs = rest[:n_side]            # tlen2d / scales2d (HBM)
@@ -520,21 +552,13 @@ def gather_block_scores_dma(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
         lane = jax.lax.broadcasted_iota(jnp.int32, (kb, BLOCK), 1)
         cols = (qrow[:, None] * BLOCK + lane).reshape(1, kb * BLOCK)
         mask = jnp.logical_and(cols >= 0, cols < nv_ref[0])      # bidx<0 = pad
-        sx = 0
         if use_len:
-            mask = jnp.logical_and(mask, side_s[sx][slot] <= qcap_ref[i])
-            sx += 1
-        if quantized:
-            s = s * side_s[sx][slot]
+            mask = jnp.logical_and(mask, side_s[0][slot] <= qcap_ref[i])
         out_ref[:] = jnp.where(mask, s, float("-inf")).reshape(1, 1, kb * BLOCK)
 
     side_args, side_scratch, side_semst = [], [], []
     if use_len:
         side_args.append(tlen2d)
-        side_scratch.append(pltpu.VMEM((2, 1, kb * BLOCK), jnp.float32))
-        side_semst.append(pltpu.SemaphoreType.DMA((2,)))
-    if quantized:
-        side_args.append(scales2d)
         side_scratch.append(pltpu.VMEM((2, 1, kb * BLOCK), jnp.float32))
         side_semst.append(pltpu.SemaphoreType.DMA((2,)))
 
@@ -559,7 +583,12 @@ def gather_block_scores_dma(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
         # for wide gathers (IVF probes can select hundreds of blocks)
         compiler_params=_compiler_params(100 * 1024 * 1024),
     )(bidx, jnp.asarray([n_valid], jnp.int32), qcap, bidx, q, db, *side_args)
-    return out.reshape(qp, kb * BLOCK)
+    out = out.reshape(qp, kb * BLOCK)
+    if quantized:
+        scale_sel = _gather_blockvec_f32(scales2d[:, 0], jnp.maximum(bidx, 0))
+        out = (out.reshape(qp, kb, BLOCK) * scale_sel[:, :, None]
+               ).reshape(qp, kb * BLOCK)
+    return out
 
 
 _G_CAP = int(os.environ.get("MERIZO_GATHER_G_CAP", "34"))  # perf-tuning knob
