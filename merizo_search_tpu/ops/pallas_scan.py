@@ -797,13 +797,18 @@ def fused_topk(q, db, n_valid, k, tlen=None, qlen=None, mincov=0.0,
         sbi = jnp.concatenate(
             [sbi, jnp.broadcast_to(ssb, (qp, 1))], axis=1)  # [Qp, ksb+1]
         # gather the selected superblocks' BM slabs with a one-hot MXU
-        # matmul — the only re-read of BM. A pure-DMA Pallas slab gather
-        # moves 30x fewer bytes but measures 3x SLOWER at production shapes
-        # (~1 KB slab DMAs are latency-bound), while the one-hot contraction
-        # pays Q*k*NB MXU mults at full rate. BM is finite by construction
-        # (kernel clamps to -3.4e38) so no NaN guard is needed; dedup'd -1
-        # rows match no one-hot column (slab of zeros) and are floored below
-        # so they can never displace a real candidate.
+        # matmul — the only re-read of BM. Alternatives measured/attempted:
+        # a kernel-managed DMA slab gather would move ~5x fewer bytes, but
+        # Mosaic rejects manual HBM memref_slice DMAs whose sublane extent
+        # isn't a multiple of the (8,128) tiling — a per-query slab is ONE
+        # row of the [Qp, NB] BM — and per-(q,slab) pipelined BlockSpec
+        # gathers are issue-rate-bound (~26k 1-KB copies/batch). The einsum
+        # costs one streaming BM read plus a ~0.4 ms XLA relayout copy of BM
+        # (contraction dim must move to sublanes); see fused_topk's phase-B
+        # comment. BM is finite by construction (kernel clamps to -3.4e38)
+        # so no NaN guard is needed; dedup'd -1 rows match no one-hot column
+        # (slab of zeros) and are floored below so they can never displace a
+        # real candidate.
         onehot = (sbi[:, :, None] == np.arange(nsb)[None, None, :]
                   ).astype(jnp.float32)
         cand_bm = jnp.einsum("qks,qsb->qkb", onehot,
