@@ -300,17 +300,26 @@ SUB = 8  # minimum subblock width for the recursive cover select
 NEG_CAP = np.float32(-3.4e38)  # finite stand-in for -inf during selection
 
 
-def _best_factor(n: int, cap: int = 8192) -> int:
-    """Largest divisor a of n with a <= sqrt(n)-ish, for two-level one-hot
-    factorisation. Returns 1 if n is prime-ish (caller falls back)."""
-    best = 1
-    a = int(np.sqrt(n))
-    while a > 1:
-        if n % a == 0:
-            best = a
-            break
-        a -= 1
-    return best
+def _best_factor(n: int, lanes: int = 1, cap: int = 8192) -> int:
+    """Split n = a*b for the two-level one-hot gather, returning a.
+
+    The level-1 intermediate t is [Q, k, b*lanes] and is materialised
+    (written + re-read), so its traffic scales with b — while the one-hot
+    compare cost scales with a and the MXU work is split-invariant. The
+    sweet spot is therefore the SMALLEST b with b*lanes >= 128 (one full
+    lane tile), i.e. the largest a — not the sqrt-balanced split: at
+    nsb=3264/sub=8 the sqrt split makes t 53 MB vs 13 MB for the 128-lane
+    split (~4x the HBM traffic of the gather). a is capped (default 8192)
+    to bound the compare cost of building the level-1 one-hot.
+    Returns 1 if n has no suitable divisor (caller falls back to flat)."""
+    target_b = max(1, -(-128 // max(lanes, 1)))
+    b = target_b
+    while b <= n and (n % b or n // b > cap):
+        b += 1
+    if b > n:
+        return 1
+    a = n // b
+    return a if a > 1 else 1
 
 
 def _gather_subblocks(sb, sbi):
@@ -321,11 +330,13 @@ def _gather_subblocks(sb, sbi):
     is [Q, k, nsb] — at nsb ~ thousands that materialises hundreds of MB per
     call — so wide gathers are factorised: with nsb = A*B, gather the A-level
     row group with a [Q, k, A] one-hot matmul, then pick the B-level slot
-    with a [Q, k, B] elementwise select, shrinking operand traffic ~nsb/(A+B)x.
-    fp32 one-hot products are bit-exact for finite values."""
+    with a [Q, k, B] elementwise select. B is chosen as the smallest group
+    count filling one 128-lane tile (see _best_factor) so the materialised
+    [Q, k, B*sub] intermediate stays small. fp32 one-hot products are
+    bit-exact for finite values."""
     qn, nsb, sub = sb.shape
     kk = sbi.shape[1]
-    a = _best_factor(nsb) if nsb >= 1024 else 1
+    a = _best_factor(nsb, lanes=sub) if nsb >= 1024 else 1
     if a > 1:
         b = nsb // a
         hi, lo = sbi // b, sbi % b
@@ -417,7 +428,7 @@ def _gather_blockvec_f32(vec, ids):
     gather per-block dequant scales so phase C needs no scale DMAs."""
     w = vec.shape[0]
     qn, jj = ids.shape
-    a = _best_factor(w) if w >= 1024 else 1
+    a = _best_factor(w, lanes=1) if w >= 1024 else 1
     if a > 1:
         b = w // a
         hi, lo = ids // b, ids % b
