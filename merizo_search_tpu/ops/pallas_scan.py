@@ -63,7 +63,7 @@ def _compiler_params(vmem_bytes: int | None):
 
 
 def _bm_kernel(nv_ref, q_ref, db_ref, *rest, tile,
-               use_len, quantized, qt, sbw, nslab):
+               use_len, quantized, qt, sbw, nslab, bm_mode):
     """One grid step: scores of ALL query tiles vs one [tile, D] DB slab ->
     block maxima. Three performance-critical layout choices:
 
@@ -155,7 +155,21 @@ def _bm_kernel(nv_ref, q_ref, db_ref, *rest, tile,
         # rescore), and bf16 tlen-masked -inf maxima are clamped likewise.
         bmt = jnp.where(blk_valid, jnp.maximum(bmt, np.float32(-3.4e38)),
                         np.float32(-3.4e38))
-        if len(bm_ref.shape) == 3:
+        if bm_mode == "grouped":
+            # BM is written natively as [Qp, nsteps, nbt] so phase B's
+            # one-hot slab einsum consumes it with NO relayout (the
+            # contraction dim s sits on sublanes already — XLA's relayout
+            # of the flat [Qp, NB] BM cost ~0.4 ms/batch at Q=256). A
+            # (qp, 1, nbt) out block would need a 1-sublane store, which
+            # Mosaic rejects, so the block covers 8 superblocks and is
+            # revisited for 8 consecutive steps; each step writes its
+            # sublane slot via a one-hot select (every slot is written
+            # exactly once before the block retires, so no init needed).
+            mid = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
+            cur = bm_ref[j * qt:(j + 1) * qt, :, :]
+            bm_ref[j * qt:(j + 1) * qt, :, :] = jnp.where(
+                mid == step % 8, bmt[:, None, :], cur)
+        elif bm_mode == "per_step":
             bm_ref[0, j * qt:(j + 1) * qt, :] = bmt      # unaligned-tile path
         else:
             bm_ref[j * qt:(j + 1) * qt, :] = bmt
@@ -185,8 +199,12 @@ def blockmax_scan(q, db, n_valid, tlen, qcap, tile=DEFAULT_TILE,
     scores and dequantises only the block maxima with each block's first
     row's scale, so per-row scales would silently corrupt phase B's block
     selection.
-    Returns (BM [Qp, Npad/BLOCK], SBM [Qp, Npad/tile]) f32 block / superblock
-    maxima. Entries are always finite (clamped to a -3.4e38 floor) —
+    Returns (BM [Qp, Npad/tile, tile/BLOCK], SBM [Qp, Npad/tile]) f32 block /
+    superblock maxima. BM is 3-D — superblock-major with the per-superblock
+    block maxima minor — and on the production path is WRITTEN in that
+    layout by the kernel, so phase B's one-hot slab gather contracts over
+    the superblock dim with no relayout (flatten with reshape if a flat
+    [Qp, NB] view is needed; that pays the relayout the 3-D layout avoids). Entries are always finite (clamped to a -3.4e38 floor) —
     selection-only values; exact -inf for masked rows is restored by the
     phase-C rescore. Row-validity (rows >= n_valid) is masked at block
     granularity only: the one block straddling n_valid may carry an inflated
@@ -208,8 +226,19 @@ def blockmax_scan(q, db, n_valid, tlen, qcap, tile=DEFAULT_TILE,
     nslab = 4 if quantized else 2
     while tile // nslab < BLOCK or (tile // nslab) % BLOCK:
         nslab //= 2
+    nbt = tile // BLOCK
+    # BM layout (see _bm_kernel): "grouped" writes the einsum-ready 3D
+    # [Qp, nsteps, nbt] directly; "flat2d"/"per_step" are fallbacks for
+    # grids the grouped block can't tile (reshaped after the fact).
+    if nbt % 128 == 0 and nsteps % 8 == 0 and nsteps > 1:
+        bm_mode = "grouped"
+    elif nbt % 128 == 0 or nsteps == 1:
+        bm_mode = "flat2d"
+    else:
+        bm_mode = "per_step"
     kernel = partial(_bm_kernel, tile=tile, use_len=use_len,
-                     quantized=quantized, qt=qt, sbw=sbw, nslab=nslab)
+                     quantized=quantized, qt=qt, sbw=sbw, nslab=nslab,
+                     bm_mode=bm_mode)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),                    # n_valid [1]
         pl.BlockSpec((qp, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -229,21 +258,21 @@ def blockmax_scan(q, db, n_valid, tlen, qcap, tile=DEFAULT_TILE,
         in_specs.append(pl.BlockSpec((tile // BLOCK, BLOCK), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM))
         args.append(scales.reshape(npad // BLOCK, BLOCK))
-    nbt = tile // BLOCK
-    # TPU lowering needs the BM out block's lane dim 128-divisible (or the
-    # whole array); production tiles satisfy it, small test tiles fall back
-    # to a [step, qp, nbt] layout transposed after the fact (a few MB)
-    aligned = nbt % 128 == 0 or nsteps == 1
-    if aligned:
+    if bm_mode == "grouped":
+        bm_spec = pl.BlockSpec((qp, 8, nbt), lambda i: (0, i // 8, 0),
+                               memory_space=pltpu.VMEM)
+        bm_shape = jax.ShapeDtypeStruct((qp, nsteps, nbt), jnp.float32)
+        post = lambda bm: bm
+    elif bm_mode == "flat2d":
         bm_spec = pl.BlockSpec((qp, nbt), lambda i: (0, i),
                                memory_space=pltpu.VMEM)
         bm_shape = jax.ShapeDtypeStruct((qp, npad // BLOCK), jnp.float32)
-        post = lambda bm: bm
+        post = lambda bm: bm.reshape(qp, nsteps, nbt)
     else:
         bm_spec = pl.BlockSpec((1, qp, nbt), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)
         bm_shape = jax.ShapeDtypeStruct((nsteps, qp, nbt), jnp.float32)
-        post = lambda bm: bm.transpose(1, 0, 2).reshape(qp, npad // BLOCK)
+        post = lambda bm: bm.transpose(1, 0, 2)
     bm, sbm = pl.pallas_call(
         kernel,
         grid=(nsteps,),
@@ -729,6 +758,71 @@ def gather_block_scores(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
     return out.reshape(qp, kb * BLOCK)
 
 
+def _select_blocks(bm, sbm, n_valid, k, use_sb):
+    """Phase B: exact top-block selection from the kernel's maxima.
+
+    bm [Qp, NSB, NBT] f32 (blockmax_scan's native 3-D layout), sbm
+    [Qp, NSB] f32. Returns bidx [Qp, KB] i32 global block ids (-1 =
+    padding slot), KB = min(k+1, NB) + 1.
+
+    Superblock (= tile) maxima were computed in-kernel, so selection
+    starts from SBM and never re-reduces the big BM matrix: pick the top
+    superblocks (same cover argument one level up), gather their BM slabs
+    with a one-hot MXU matmul (the only re-read of BM), then top blocks
+    among those candidates. Chain of covers: a true top-k element's
+    superblock must be selected (else enough superblocks each hold a
+    larger element), and within the candidate set its block must be
+    selected (same argument on block maxima). Row-validity: the kernel
+    masks padding at block granularity only, so the block straddling
+    n_valid may carry an inflated max. It can displace at most one true
+    block (superblock) per level, so each level selects top-(k+1) and the
+    straddling block is force-included (dedup'd to -1 if already
+    selected, so no row is reported twice); phase C restores exact -inf
+    for rows >= n_valid.
+
+    The slab gather rides the MXU because alternatives measured worse:
+    a kernel-managed DMA slab gather would move ~5x fewer bytes, but
+    Mosaic rejects manual HBM memref_slice DMAs whose sublane extent
+    isn't a multiple of the (8,128) tiling — a per-query slab is ONE
+    sublane — and per-(q,slab) pipelined BlockSpec gathers are
+    issue-rate-bound (~26k 1-KB copies/batch). The einsum contracts over
+    the superblock dim, which blockmax_scan's 3-D BM layout keeps on
+    sublanes, so XLA inserts no relayout (the flat [Qp, NB] layout paid a
+    ~0.4 ms/batch relayout copy here at Q=256). BM is finite by
+    construction (kernel clamps to -3.4e38) so no NaN guard is needed;
+    dedup'd -1 rows match no one-hot column (slab of zeros) and are
+    floored so they can never displace a real candidate."""
+    qp, nsb, nbt = bm.shape
+    nb = nsb * nbt
+    straddle = jnp.minimum(jnp.asarray(n_valid, jnp.int32) // BLOCK, nb - 1)
+    kb = min(k + 1, nb)
+    if use_sb:
+        ksb = min(k + 1, nsb)
+        _, sbi = _topk_finite(sbm, ksb)                  # [Qp, ksb] tile ids
+        ssb = straddle // nbt
+        sbi = jnp.where(sbi == ssb, -1, sbi)             # dedup marker
+        sbi = jnp.concatenate(
+            [sbi, jnp.broadcast_to(ssb, (qp, 1))], axis=1)  # [Qp, ksb+1]
+        onehot = (sbi[:, :, None] == np.arange(nsb)[None, None, :]
+                  ).astype(jnp.float32)
+        cand_bm = jnp.einsum("qks,qsb->qkb", onehot, bm,
+                             preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+        cand_bm = jnp.where(sbi[:, :, None] < 0, NEG_CAP, cand_bm)
+        _, bsel = _topk_finite(cand_bm.reshape(qp, (ksb + 1) * nbt), kb)
+        # local candidate -> global block id arithmetically (gathered values
+        # are superblock ids < 2^24, exact in the fp32 one-hot product);
+        # candidates from dedup'd -1 slabs map to negative ids, which the
+        # phase-C kernel masks to -inf.
+        bidx = _gather_int(sbi, bsel // nbt) * nbt + bsel % nbt
+        bidx = jnp.where(bidx < 0, -1, bidx)
+    else:
+        _, bidx = _topk_finite(bm.reshape(qp, nb), kb)   # [Qp, kb] block ids
+    bidx = jnp.where(bidx == straddle, -1, bidx)         # dedup marker
+    return jnp.concatenate(
+        [bidx, jnp.broadcast_to(straddle, (qp, 1))], axis=1)  # [Qp, kb+1]
+
+
 @partial(jax.jit, static_argnames=("k", "tile", "use_len", "interpret"))
 def fused_topk(q, db, n_valid, k, tlen=None, qlen=None, mincov=0.0,
                tile=DEFAULT_TILE, use_len=False, interpret=False,
@@ -779,66 +873,10 @@ def fused_topk(q, db, n_valid, k, tlen=None, qlen=None, mincov=0.0,
     use_sb = nsb_ >= 2 * min(k + 1, nsb_) and nsb_ >= 2
     bm, sbm = blockmax_scan(q, db, n_valid, tl, qcap, tile=tile,
                             use_len=use_len, interpret=interpret,
-                            scales=scales)  # [Qp, NB], [Qp, NSB]
+                            scales=scales)  # [Qp, NSB, NBT], [Qp, NSB]
 
-    # Phase B: top blocks per query. Superblock (= tile) maxima were
-    # computed in-kernel, so selection starts from SBM [Qp, NSB] and never
-    # re-reduces the big BM matrix: pick the top superblocks (same cover
-    # argument one level up), gather their BM rows with a one-hot MXU matmul
-    # (one streaming read of BM), then top blocks among those candidates.
-    # Chain of covers: a true top-k element's superblock must be selected
-    # (else enough superblocks each hold a larger element), and within the
-    # candidate set its block must be selected (same argument on block
-    # maxima). Row-validity: the kernel masks padding at block granularity
-    # only, so the block straddling n_valid may carry an inflated max. It
-    # can displace at most one true block (superblock) per level, so each
-    # level selects top-(k+1) and the straddling block is force-included
-    # (dedup'd to -1 if already selected, so no row is reported twice);
-    # phase C restores exact -inf for rows >= n_valid.
     nb = npad // BLOCK
-    nbt = tile // BLOCK
-    nsb = npad // tile
-    straddle = jnp.minimum(jnp.asarray(n_valid, jnp.int32) // BLOCK, nb - 1)
-    kb = min(k + 1, nb)
-    if use_sb:
-        ksb = min(k + 1, nsb)
-        _, sbi = _topk_finite(sbm, ksb)                  # [Qp, ksb] tile ids
-        ssb = straddle // nbt
-        sbi = jnp.where(sbi == ssb, -1, sbi)             # dedup marker
-        sbi = jnp.concatenate(
-            [sbi, jnp.broadcast_to(ssb, (qp, 1))], axis=1)  # [Qp, ksb+1]
-        # gather the selected superblocks' BM slabs with a one-hot MXU
-        # matmul — the only re-read of BM. Alternatives measured/attempted:
-        # a kernel-managed DMA slab gather would move ~5x fewer bytes, but
-        # Mosaic rejects manual HBM memref_slice DMAs whose sublane extent
-        # isn't a multiple of the (8,128) tiling — a per-query slab is ONE
-        # row of the [Qp, NB] BM — and per-(q,slab) pipelined BlockSpec
-        # gathers are issue-rate-bound (~26k 1-KB copies/batch). The einsum
-        # costs one streaming BM read plus a ~0.4 ms XLA relayout copy of BM
-        # (contraction dim must move to sublanes); see fused_topk's phase-B
-        # comment. BM is finite by construction (kernel clamps to -3.4e38)
-        # so no NaN guard is needed; dedup'd -1 rows match no one-hot column
-        # (slab of zeros) and are floored below so they can never displace a
-        # real candidate.
-        onehot = (sbi[:, :, None] == np.arange(nsb)[None, None, :]
-                  ).astype(jnp.float32)
-        cand_bm = jnp.einsum("qks,qsb->qkb", onehot,
-                             bm.reshape(qp, nsb, nbt),
-                             preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
-        cand_bm = jnp.where(sbi[:, :, None] < 0, NEG_CAP, cand_bm)
-        _, bsel = _topk_finite(cand_bm.reshape(qp, (ksb + 1) * nbt), kb)
-        # local candidate -> global block id arithmetically (gathered values
-        # are superblock ids < 2^24, exact in the fp32 one-hot product);
-        # candidates from dedup'd -1 slabs map to negative ids, which the
-        # phase-C kernel masks to -inf.
-        bidx = _gather_int(sbi, bsel // nbt) * nbt + bsel % nbt
-        bidx = jnp.where(bidx < 0, -1, bidx)
-    else:
-        _, bidx = _topk_finite(bm, kb)                   # [Qp, kb] block ids
-    bidx = jnp.where(bidx == straddle, -1, bidx)         # dedup marker
-    bidx = jnp.concatenate(
-        [bidx, jnp.broadcast_to(straddle, (qp, 1))], axis=1)  # [Qp, kb+1]
+    bidx = _select_blocks(bm, sbm, n_valid, k, use_sb)
 
     # Phase C: recompute masked scores of only the selected blocks (Pallas
     # gather at streaming bandwidth) and take the final exact top-k. The

@@ -60,7 +60,7 @@ def main():
                 def body(i, acc):
                     qq = q * (1.0 + i.astype(jnp.bfloat16) * jnp.bfloat16(1e-3))
                     bm, _sbm = blockmax_scan(qq, db, DB_N, tl, qcap, tile=tile)
-                    return acc + jnp.sum(bm[:, :8], axis=-1)
+                    return acc + jnp.sum(bm[:, :1, :8], axis=(-2, -1))
                 return jax.lax.fori_loop(0, REPEATS, body, jnp.zeros((qn,), jnp.float32))
 
             @jax.jit

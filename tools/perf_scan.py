@@ -84,11 +84,11 @@ def run_suite(db, q0, scales, bytes_):
         return jnp.sum(bm[:, :8])
 
     def phase_ab(i, q, db, *s):
-        bm, _sbm = ps.blockmax_scan(perturb(i, q) if q.dtype == jnp.bfloat16 else q + (i % 3).astype(q.dtype),
-                                    db, N, tl, qcap,
-                                    scales=(s[0] if s else None))
-        v, bidx = ps._topk_entries(bm, K)
-        return jnp.sum(v) + jnp.sum(bidx[:, 0]).astype(jnp.float32)
+        bm, sbm = ps.blockmax_scan(perturb(i, q) if q.dtype == jnp.bfloat16 else q + (i % 3).astype(q.dtype),
+                                   db, N, tl, qcap,
+                                   scales=(s[0] if s else None))
+        bidx = ps._select_blocks(bm, sbm, N, K, True)
+        return jnp.sum(bidx.astype(jnp.float32))
 
     def full(i, q, db, *s):
         v, idx = ps.fused_topk(perturb(i, q) if q.dtype == jnp.bfloat16 else q + (i % 3).astype(q.dtype),
