@@ -156,6 +156,11 @@ def _fix_positional_tail(args) -> None:
         args.tmp = args.output
         args.output = args.db_name
         args.db_name = args.input.pop()
+        logger.warning(
+            "interpreted positionals reference-style as "
+            "`input+ db_name output tmp`: db=%s output=%s tmp=%s "
+            "(pass named flags or omit tmp to avoid the guess)",
+            args.db_name, args.output, args.tmp)
 
 
 def _apply_device(device: str | None):

@@ -479,7 +479,7 @@ GATHER_G = 25  # retained for callers that pre-pad bidx; gather_block_scores
 
 @partial(jax.jit, static_argnames=("use_len", "quantized"))
 def gather_block_scores_dma(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
-                            quantized=False, scales2d=None):
+                            quantized=False, scale_sel=None):
     """Phase C gather with kernel-managed DMA (TPU only; see
     gather_block_scores for the BlockSpec variant used in interpret mode).
 
@@ -494,15 +494,16 @@ def gather_block_scores_dma(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
 
     Dequantisation scales do NOT ride DMA: they are block-uniform scalars
     (quantize_blocks layout), so the kernel emits raw masked int32-as-f32
-    scores and the [Qp, KB] per-block scale matrix — gathered from the
-    [NB] block-scale vector with a factorised one-hot contraction — is
-    multiplied on afterwards in XLA. The per-block 512 B scale-row copies
-    this replaces were HALF of all DMAs issued (all of them latency-bound).
-    -inf masking survives the multiply exactly since scales are positive.
+    scores and the caller passes the [Qp, KB] per-selected-block scale
+    matrix (phase B gathers it with the superblock one-hot it already
+    builds — see _select_blocks), multiplied on afterwards in XLA. The
+    per-block 512 B scale-row copies this replaces were HALF of all DMAs
+    issued (all of them latency-bound). -inf masking survives the
+    multiply exactly since scales are positive.
 
     q [Qp,D] (int8 when quantized else db dtype), db [Npad,D],
     tlen2d [NB,BLOCK] f32, qcap [Qp] f32, bidx [Qp,KB] i32 (-1 = padding),
-    scales2d [NB,BLOCK] f32 (quantized only).
+    scale_sel [Qp,KB] f32 per-selected-block scales (quantized only).
     Returns scores [Qp, KB*BLOCK] f32, -inf where masked/padded."""
     qp, d = q.shape
     nb = db.shape[0] // BLOCK
@@ -511,6 +512,10 @@ def gather_block_scores_dma(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
     if kb % UNROLL:
         bidx = jnp.pad(bidx, ((0, 0), (0, UNROLL - kb % UNROLL)),
                        constant_values=-1)
+        if scale_sel is not None:
+            scale_sel = jnp.pad(scale_sel,
+                                ((0, 0), (0, UNROLL - kb % UNROLL)),
+                                constant_values=1.0)
         kb = bidx.shape[1]
     n_side = 1 if use_len else 0
 
@@ -625,7 +630,6 @@ def gather_block_scores_dma(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
     )(bidx, jnp.asarray([n_valid], jnp.int32), qcap, bidx, q, db, *side_args)
     out = out.reshape(qp, kb * BLOCK)
     if quantized:
-        scale_sel = _gather_blockvec_f32(scales2d[:, 0], jnp.maximum(bidx, 0))
         out = (out.reshape(qp, kb, BLOCK) * scale_sel[:, :, None]
                ).reshape(qp, kb * BLOCK)
     return out
@@ -758,12 +762,21 @@ def gather_block_scores(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
     return out.reshape(qp, kb * BLOCK)
 
 
-def _select_blocks(bm, sbm, n_valid, k, use_sb):
+def _select_blocks(bm, sbm, n_valid, k, use_sb, sb_scale=None):
     """Phase B: exact top-block selection from the kernel's maxima.
 
     bm [Qp, NSB, NBT] f32 (blockmax_scan's native 3-D layout), sbm
-    [Qp, NSB] f32. Returns bidx [Qp, KB] i32 global block ids (-1 =
-    padding slot), KB = min(k+1, NB) + 1.
+    [Qp, NSB] f32, sb_scale [NSB, NBT] f32 per-block dequant scales for
+    int8 DBs (else None). Returns (bidx [Qp, KB] i32 global block ids,
+    scale_sel [Qp, KB] f32 per-selected-block scales or None), with -1 /
+    1.0 in padding slots and KB = min(k+1, NB) + 1.
+
+    The scale gather rides phase B because the superblock one-hot is
+    already built here: gathering the [NB]-wide per-block scale vector
+    standalone costs ~110 MB of factorised one-hot traffic per 256-query
+    batch, while reusing this one-hot against the tiny [NSB, NBT] scale
+    matrix costs one extra small einsum (the phase-C rescore then needs
+    no scale lookup at all).
 
     Superblock (= tile) maxima were computed in-kernel, so selection
     starts from SBM and never re-reduces the big BM matrix: pick the top
@@ -814,13 +827,37 @@ def _select_blocks(bm, sbm, n_valid, k, use_sb):
         # are superblock ids < 2^24, exact in the fp32 one-hot product);
         # candidates from dedup'd -1 slabs map to negative ids, which the
         # phase-C kernel masks to -inf.
-        bidx = _gather_int(sbi, bsel // nbt) * nbt + bsel % nbt
+        slot = bsel // nbt
+        bidx = _gather_int(sbi, slot) * nbt + bsel % nbt
         bidx = jnp.where(bidx < 0, -1, bidx)
+        if sb_scale is not None:
+            # same one-hot, tiny RHS: cand slabs of the per-block scales
+            cand_sc = jnp.einsum("qks,sb->qkb", onehot, sb_scale,
+                                 preferred_element_type=jnp.float32,
+                                 precision=jax.lax.Precision.HIGHEST)
+            picked = _gather_subblocks(cand_sc, slot)    # [Qp, kb, nbt]
+            lo_oh = (bsel[:, :, None] % nbt ==
+                     np.arange(nbt)[None, None, :]).astype(jnp.float32)
+            scale_sel = jnp.sum(picked * lo_oh, axis=2)  # [Qp, kb]
+            scale_sel = jnp.where(bidx < 0, 1.0, scale_sel)
     else:
         _, bidx = _topk_finite(bm.reshape(qp, nb), kb)   # [Qp, kb] block ids
+        if sb_scale is not None:
+            scale_sel = _gather_blockvec_f32(
+                sb_scale.reshape(nb), jnp.maximum(bidx, 0))
     bidx = jnp.where(bidx == straddle, -1, bidx)         # dedup marker
-    return jnp.concatenate(
+    bidx = jnp.concatenate(
         [bidx, jnp.broadcast_to(straddle, (qp, 1))], axis=1)  # [Qp, kb+1]
+    if sb_scale is None:
+        return bidx, None
+    # straddle column: one scalar scale shared by all queries; slots
+    # dedup'd to -1 keep scale 1.0 (their scores are already -inf)
+    st_sc = jax.lax.dynamic_index_in_dim(
+        sb_scale.reshape(nb), straddle, keepdims=False)
+    scale_sel = jnp.where(bidx[:, :kb] < 0, 1.0, scale_sel)
+    scale_sel = jnp.concatenate(
+        [scale_sel, jnp.broadcast_to(st_sc, (qp, 1))], axis=1)
+    return bidx, scale_sel
 
 
 @partial(jax.jit, static_argnames=("k", "tile", "use_len", "interpret"))
@@ -876,7 +913,10 @@ def fused_topk(q, db, n_valid, k, tlen=None, qlen=None, mincov=0.0,
                             scales=scales)  # [Qp, NSB, NBT], [Qp, NSB]
 
     nb = npad // BLOCK
-    bidx = _select_blocks(bm, sbm, n_valid, k, use_sb)
+    sb_scale = (None if scales is None
+                else scales.reshape(nb, BLOCK)[:, 0].reshape(bm.shape[1:]))
+    bidx, scale_sel = _select_blocks(bm, sbm, n_valid, k, use_sb,
+                                     sb_scale=sb_scale)
 
     # Phase C: recompute masked scores of only the selected blocks (Pallas
     # gather at streaming bandwidth) and take the final exact top-k. The
@@ -891,7 +931,7 @@ def fused_topk(q, db, n_valid, k, tlen=None, qlen=None, mincov=0.0,
         scores = gather_block_scores_dma(
             qc, db, tl.reshape(nb, BLOCK), qcap, bidx, n_valid,
             use_len=use_len, quantized=scales is not None,
-            scales2d=None if scales is None else scales.reshape(nb, BLOCK))
+            scale_sel=scale_sel)
     kbp = scores.shape[1] // BLOCK
     if kbp != bidx.shape[1]:  # the gather pads bidx columns to its group size
         bidx = jnp.pad(bidx, ((0, 0), (0, kbp - bidx.shape[1])),

@@ -242,11 +242,20 @@ def _probe_and_select(q, db_perm, perm, bidx, k, tlen, qlen, mincov, use_len,
             q, db_perm, tl2d, qcap, bidx.astype(jnp.int32),
             db_perm.shape[0], use_len=True, interpret=True, scales=scales)
     else:  # TPU: kernel-managed DMA gather (deep copy pipeline)
+        # per-selected-block dequant scales (block-uniform): factorised
+        # one-hot gather from the [NB] block-scale vector. The flat-scan
+        # path gets these for free from phase B's superblock one-hot
+        # (_select_blocks); IVF probes carry no such one-hot, so the
+        # standalone gather stays.
+        scale_sel = None
+        if scales is not None:
+            scale_sel = ps._gather_blockvec_f32(
+                scales.reshape(-1, BLOCK)[:, 0],
+                jnp.maximum(bidx.astype(jnp.int32), 0))
         scores = ps.gather_block_scores_dma(
             q, db_perm, tl2d, qcap, bidx.astype(jnp.int32),
             db_perm.shape[0], use_len=True, quantized=scales is not None,
-            scales2d=None if scales is None
-            else scales.reshape(-1, BLOCK))
+            scale_sel=scale_sel)
     ridx = (bidx[:, :, None] * BLOCK
             + np.arange(BLOCK)[None, None, :]).reshape(qp, kbp * BLOCK)
     v, sel = ps._topk_entries(scores, k)

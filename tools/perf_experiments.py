@@ -120,7 +120,9 @@ def stages(q, dbv, scales, tag):
             scores = ps.gather_block_scores_dma(
                 qq, dbv, tl.reshape(nb, ps.BLOCK), qcap, bidx, N,
                 quantized=bool(s),
-                scales2d=(s[0].reshape(nb, ps.BLOCK) if s else None))
+                scale_sel=(ps._gather_blockvec_f32(
+                    s[0].reshape(nb, ps.BLOCK)[:, 0], jnp.maximum(bidx, 0))
+                    if s else None))
             if stage == 4:
                 return jnp.sum(scores[:, :8])
             kbp = scores.shape[1] // ps.BLOCK

@@ -87,7 +87,7 @@ def run_suite(db, q0, scales, bytes_):
         bm, sbm = ps.blockmax_scan(perturb(i, q) if q.dtype == jnp.bfloat16 else q + (i % 3).astype(q.dtype),
                                    db, N, tl, qcap,
                                    scales=(s[0] if s else None))
-        bidx = ps._select_blocks(bm, sbm, N, K, True)
+        bidx, _scale = ps._select_blocks(bm, sbm, N, K, True)
         return jnp.sum(bidx.astype(jnp.float32))
 
     def full(i, q, db, *s):
