@@ -501,14 +501,49 @@ def gather_block_scores_dma(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
     issued (all of them latency-bound). -inf masking survives the
     multiply exactly since scales are positive.
 
+    Wide selections (IVF probes can select thousands of blocks per query)
+    are processed in column chunks: the scalar-prefetched bidx lives in
+    SMEM (~1 MB/core) and the double-buffered slab scratch in VMEM, both
+    of which bound how many blocks one pallas_call can gather. Chunks pad
+    only at the END of the padded-kb column range, so the caller's
+    column -> bidx correspondence is preserved.
+
     q [Qp,D] (int8 when quantized else db dtype), db [Npad,D],
     tlen2d [NB,BLOCK] f32, qcap [Qp] f32, bidx [Qp,KB] i32 (-1 = padding),
     scale_sel [Qp,KB] f32 per-selected-block scales (quantized only).
-    Returns scores [Qp, KB*BLOCK] f32, -inf where masked/padded."""
+    Returns scores [Qp, KB_padded*BLOCK] f32, -inf where masked/padded."""
     qp, d = q.shape
     nb = db.shape[0] // BLOCK
     UNROLL = 6  # copies issued per loop iteration (see kernel note)
     kb = bidx.shape[1]
+    # columns per pallas_call: SMEM bidx chunk <= ~512 KB, VMEM slab
+    # scratch <= ~64 MB (of the 100 MB scoped budget; sidecars + out rows
+    # use the rest)
+    smem_cols = (512 * 1024 // (4 * qp)) // UNROLL * UNROLL
+    vmem_cols = (64 * 1024 * 1024
+                 // (2 * BLOCK * d * db.dtype.itemsize)) // UNROLL * UNROLL
+    cap = max(UNROLL, min(smem_cols, vmem_cols))
+    if kb > cap:
+        # balance chunk sizes: ceil-split into the fewest chunks under the
+        # cap, so a kb just over the cap pads by one UNROLL group instead
+        # of a whole extra cap-width of masked (but still DMA'd) columns
+        nchunks = -(-kb // cap)
+        chunk = -(-(-(-kb // nchunks)) // UNROLL) * UNROLL
+        kbp = nchunks * chunk
+        bidx = jnp.pad(bidx, ((0, 0), (0, kbp - kb)), constant_values=-1)
+        if scale_sel is not None:
+            scale_sel = jnp.pad(scale_sel, ((0, 0), (0, kbp - kb)),
+                                constant_values=1.0)
+        pieces = [
+            gather_block_scores_dma(
+                q, db, tlen2d, qcap,
+                jax.lax.slice_in_dim(bidx, c, c + chunk, axis=1),
+                n_valid, use_len=use_len, quantized=quantized,
+                scale_sel=None if scale_sel is None else
+                jax.lax.slice_in_dim(scale_sel, c, c + chunk, axis=1))
+            for c in range(0, kbp, chunk)
+        ]
+        return jnp.concatenate(pieces, axis=1)
     if kb % UNROLL:
         bidx = jnp.pad(bidx, ((0, 0), (0, UNROLL - kb % UNROLL)),
                        constant_values=-1)
