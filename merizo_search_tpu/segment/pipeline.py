@@ -206,6 +206,9 @@ def segment_structures(params, paths: list[str], chains: list[str],
     """
     t0 = time.time()
 
+    if not paths:
+        raise ValueError("no input structures to segment (check the input "
+                         "path exists and matches .pdb/.cif files)")
     if len(paths) == 1:
         # single input: parse errors propagate (a wrong --pdb_chain must be
         # a hard failure, not a silently empty result)
