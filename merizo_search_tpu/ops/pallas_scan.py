@@ -223,7 +223,7 @@ def blockmax_scan(q, db, n_valid, tlen, qcap, tile=DEFAULT_TILE,
     sbw = 128 if nsteps % 128 == 0 else nsteps  # SBM lane-block width
     # row sub-slabs for MXU/VPU interleave (see _bm_kernel); int8's faster
     # matmul leaves more reduce time to hide, so it splits finer
-    nslab = 4 if quantized else 2
+    nslab = int(os.environ.get("MERIZO_NSLAB", "0")) or (4 if quantized else 2)
     while tile // nslab < BLOCK or (tile // nslab) % BLOCK:
         nslab //= 2
     nbt = tile // BLOCK
@@ -473,6 +473,30 @@ def _gather_blockvec_f32(vec, ids):
                       precision=jax.lax.Precision.HIGHEST)
 
 
+def _gather_chunking(kb: int, qp: int, d: int, itemsize: int,
+                     unroll: int) -> tuple[int, int]:
+    """Column chunking for gather_block_scores_dma: (nchunks, chunk_width).
+
+    One pallas_call's column count is bounded by the SMEM scalar-prefetch
+    budget for bidx (~512 KB of the ~1 MB/core) and the VMEM double-buffered
+    slab scratch (~64 MB of the 100 MB scoped budget; sidecars + out rows
+    use the rest). Wide selections (IVF probes can select thousands of
+    blocks per query) are ceil-split into the fewest chunks under the cap
+    with balanced widths, so a kb just over the cap pads by one unroll
+    group instead of a whole extra cap-width of masked (but still DMA'd)
+    columns. chunk_width is always a multiple of unroll; nchunks == 1
+    means no chunking (kb fits one call)."""
+    smem_cols = (512 * 1024 // (4 * qp)) // unroll * unroll
+    vmem_cols = (64 * 1024 * 1024
+                 // (2 * BLOCK * d * itemsize)) // unroll * unroll
+    cap = max(unroll, min(smem_cols, vmem_cols))
+    if kb <= cap:
+        return 1, kb
+    nchunks = -(-kb // cap)
+    chunk = -(-(-(-kb // nchunks)) // unroll) * unroll
+    return nchunks, chunk
+
+
 GATHER_G = 25  # retained for callers that pre-pad bidx; gather_block_scores
                # itself now picks the group size per kb (see _pick_gather_g)
 
@@ -516,19 +540,8 @@ def gather_block_scores_dma(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
     nb = db.shape[0] // BLOCK
     UNROLL = 6  # copies issued per loop iteration (see kernel note)
     kb = bidx.shape[1]
-    # columns per pallas_call: SMEM bidx chunk <= ~512 KB, VMEM slab
-    # scratch <= ~64 MB (of the 100 MB scoped budget; sidecars + out rows
-    # use the rest)
-    smem_cols = (512 * 1024 // (4 * qp)) // UNROLL * UNROLL
-    vmem_cols = (64 * 1024 * 1024
-                 // (2 * BLOCK * d * db.dtype.itemsize)) // UNROLL * UNROLL
-    cap = max(UNROLL, min(smem_cols, vmem_cols))
-    if kb > cap:
-        # balance chunk sizes: ceil-split into the fewest chunks under the
-        # cap, so a kb just over the cap pads by one UNROLL group instead
-        # of a whole extra cap-width of masked (but still DMA'd) columns
-        nchunks = -(-kb // cap)
-        chunk = -(-(-(-kb // nchunks)) // UNROLL) * UNROLL
+    nchunks, chunk = _gather_chunking(kb, qp, d, db.dtype.itemsize, UNROLL)
+    if nchunks > 1:
         kbp = nchunks * chunk
         bidx = jnp.pad(bidx, ((0, 0), (0, kbp - kb)), constant_values=-1)
         if scale_sel is not None:

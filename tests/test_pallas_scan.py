@@ -254,3 +254,26 @@ def test_gather_int_matches_take_along(rng):
     sel = rng.integers(0, 300, size=(7, 40)).astype(np.int32)
     out = np.asarray(_gather_int(jnp.asarray(src), jnp.asarray(sel)))
     assert np.array_equal(out, np.take_along_axis(src, sel, axis=1))
+
+
+def test_gather_chunking():
+    from merizo_search_tpu.ops.pallas_scan import _gather_chunking
+
+    # flat-scan widths fit one call (kb ~ k+2 = 102 at Q=256 bf16)
+    n, c = _gather_chunking(102, 256, 128, 2, 6)
+    assert n == 1 and c == 102
+    for kb in (7, 103, 510, 516, 1024, 4097, 8200):
+        for qp, itemsize in ((256, 2), (256, 1), (512, 2), (32, 4)):
+            n, c = _gather_chunking(kb, qp, 128, itemsize, 6)
+            assert c % 6 == 0 or n == 1          # unroll-aligned chunks
+            assert n * c >= kb                   # covers all columns
+            assert n * c - kb < c                # < one whole chunk of pad
+            smem_cap = (512 * 1024 // (4 * qp))
+            if n > 1:
+                assert c <= smem_cap             # SMEM bidx budget holds
+    # balanced split: kb just over the cap splits in two near-halves,
+    # not cap + remainder
+    qp = 256
+    cap = (512 * 1024 // (4 * qp)) // 6 * 6      # 510 at qp=256
+    n, c = _gather_chunking(cap + 6, qp, 128, 2, 6)
+    assert n == 2 and c <= cap // 2 + 6
