@@ -277,3 +277,36 @@ def test_gather_chunking():
     cap = (512 * 1024 // (4 * qp)) // 6 * 6      # 510 at qp=256
     n, c = _gather_chunking(cap + 6, qp, 128, 2, 6)
     assert n == 2 and c <= cap // 2 + 6
+
+
+@pytest.mark.parametrize("n,q_n,k,nv_off", [
+    (256, 1, 5, 0),      # single query, tiny db (one tile, one block row)
+    (512, 3, 200, 1),    # k > BLOCK, n_valid straddling a block
+    (1024, 17, 100, 100),  # k near n_valid remainder
+    (2048, 9, 1, 513),   # k=1, deep padding
+    (4096, 33, 64, 4095),  # only one valid row
+])
+def test_fused_topk_shape_edges(rng, n, q_n, k, nv_off):
+    """Property sweep: odd shapes / straddles vs numpy brute force."""
+    d = 128
+    db = rng.normal(size=(n, d)).astype(np.float32)
+    q = rng.normal(size=(q_n, d)).astype(np.float32)
+    n_valid = n - nv_off
+    rv, ri = _brute(q.copy(), db, n_valid, k)
+    v, i = fused_topk(jnp.asarray(q), jnp.asarray(db), n_valid, k,
+                      tile=256, interpret=True)
+    assert v.shape == (q_n, k) and i.shape == (q_n, k)
+    vn, iN = np.asarray(v), np.asarray(i)
+    np.testing.assert_allclose(vn, rv, atol=3e-5, rtol=1e-5)
+    finite = np.isfinite(rv)
+    # ties may legally order differently: check the returned indices'
+    # true scores match the brute-force values instead of index identity
+    s = q @ db.T
+    got = np.take_along_axis(s, np.maximum(iN, 0), axis=1)
+    np.testing.assert_allclose(got[finite], rv[finite], atol=3e-5, rtol=1e-5)
+    assert np.all(iN[finite] < n_valid)
+    # no duplicate rows reported per query
+    for r in range(q_n):
+        ids = iN[r][finite[r]]
+        assert len(set(ids.tolist())) == len(ids)
+    assert np.all(iN[~finite] == -1)
