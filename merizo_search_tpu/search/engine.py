@@ -149,19 +149,16 @@ class SearchEngine:
         self.index = index
         self.ivf_nprobe = ivf_nprobe
         self._ivf = None
+        self._sivf = None
         if index == "ivf":
-            if self.mode != "device":
-                raise NotImplementedError(
-                    f"IVF needs a device-resident DB: {db_bytes / 2**30:.1f} "
-                    f"GB exceeds the {budget / 2**30:.1f} GB HBM budget "
-                    f"({ndev} device(s) x {max_device_gb} GB). Use int8 "
-                    "(4x smaller), a larger mesh, or the flat stream mode.")
             # default nlist ~ sqrt(N), power of two, >= 16 (and a multiple of
             # the mesh size so shard boundaries fall on cluster boundaries)
             self.ivf_nlist = ivf_nlist or max(16, 1 << int(
                 np.ceil(np.log2(max(np.sqrt(db.size), 16)))))
             if self.ivf_nlist % ndev:
                 self.ivf_nlist = -(-self.ivf_nlist // ndev) * ndev
+            # larger-than-HBM: disk-streaming IVF (cluster-contiguous
+            # sidecar, probed clusters staged per batch — _stream_ivf_search)
         elif index != "flat":
             raise ValueError(f"unknown index type: {index}")
 
@@ -457,6 +454,9 @@ class SearchEngine:
                     recall_target=self.recall_target)
             vals = np.asarray(vals, np.float32)
             idxs = np.asarray(idxs)
+        elif self.index == "ivf":
+            vals, idxs = self._stream_ivf_search(q, k_eff, qlen, mincov,
+                                                 use_len)
         else:
             vals, idxs = self._stream_search(q, k_eff, qlen, mincov, use_len)
 
@@ -467,6 +467,175 @@ class SearchEngine:
             vals = np.concatenate([vals, pad_v], axis=1)
             idxs = np.concatenate([idxs, pad_i], axis=1)
         return vals, idxs
+
+    # -- disk-streaming IVF --------------------------------------------------
+    def _load_stream_ivf(self):
+        """Build-or-open the cluster-contiguous disk sidecar (ivf.py)."""
+        if self._sivf is not None:
+            return
+        from . import ivf as ivf_mod
+
+        t0 = time.time()
+        prec = ("int8" if self.quantized
+                else "bf16" if self.dtype == jnp.bfloat16 else "f32")
+        prefix = getattr(self.db, "prefix", None)
+        if not prefix:
+            raise ValueError("disk-streaming IVF needs an on-disk DB "
+                             "(no prefix to place the sidecars next to)")
+        p = f"{prefix}.ivfdisk{self.ivf_nlist}.{prec}"
+        if os.path.exists(p + ".npz"):
+            self._sivf = ivf_mod.load_disk_ivf(p)
+            logger.info("disk IVF loaded from %s (%.2fs)", p, time.time() - t0)
+        else:
+            if self.db.normalised:
+                emb = self.db.embeddings()
+            else:
+                emb = _normalize_rows(np.asarray(self.db.embeddings(),
+                                                 dtype=np.float32))
+            self._sivf = ivf_mod.write_disk_ivf(
+                emb, self.db.lengths(), self.ivf_nlist, p, precision=prec)
+            logger.info("disk IVF built at %s (%.2fs)", p, time.time() - t0)
+        self._sivf["dcent"] = jax.device_put(
+            self._sivf["centroids"].astype(np.float32))
+        self.ivf_nlist = self._sivf["nlist"]  # build may clamp
+
+    def _stream_ivf_search(self, q, k, qlen, mincov, use_len):
+        """Sublinear search over a larger-than-HBM DB: stage only the union
+        of probed clusters from the disk sidecar and flat-scan the staged
+        rows (exact within the probed set).
+
+        Host IO per batch ~ |union(probes)| * cluster_rows * itemsize —
+        nprobe/nlist of the DB instead of all of it (plus batch sharing:
+        queries probing the same cluster stage it once). Cluster-slot
+        padding rows carry +inf length, so they are excluded through the
+        scan's length mask (mincov folded to 1.0 with the +inf already
+        applied — bit-identical to the flat path's qlen >= tlen*mincov for
+        real rows)."""
+        self._load_stream_ivf()
+        siv = self._sivf
+        c_rows, nlist = siv["cluster_rows"], siv["nlist"]
+        nprobe = min(self.ivf_nprobe, nlist)
+        on_tpu = jax.default_backend() == "tpu"
+        fused = (self.dtype == jnp.bfloat16 or self.quantized) and on_tpu
+        quant = self.quantized and on_tpu
+
+        t0 = time.time()
+        dq = jnp.asarray(q)
+        _, dprobe = jax.lax.top_k(
+            jnp.dot(dq, siv["dcent"].T, preferred_element_type=jnp.float32),
+            nprobe)
+        union = np.unique(np.asarray(dprobe))            # sorted cluster ids
+        from . import ivf as ivf_mod
+
+        # query-side prep (scan masking always rides the length channel)
+        qcap = (np.asarray(qlen, np.float32) if use_len
+                else np.full(q.shape[0], 3e38, np.float32))
+        dqcap = jnp.asarray(qcap)
+        dq8 = dqs = None
+        if quant:
+            q8_np, qs_np = pallas_scan.quantize_rows(q)
+            dq8, dqs = jnp.asarray(q8_np), jnp.asarray(qs_np)
+
+        # staging groups bounded by the stream block size
+        cl_per_group = max(1, self.stream_block // c_rows)
+        chunk = min(self.chunk, max(c_rows, self.stream_block))
+        mult = self.ndev * (pallas_scan.DEFAULT_TILE if fused else chunk)
+        if self.mesh is not None:
+            axis = self.mesh.axis_names[0]
+            row_sh = NamedSharding(self.mesh, P(axis, None))
+            len_sh = NamedSharding(self.mesh, P(axis))
+        partial_vals, partial_idxs = [], []
+        staged_rows = 0
+        for g0 in range(0, len(union), cl_per_group):
+            cls = union[g0:g0 + cl_per_group]
+            nb = len(cls) * c_rows
+            npad = ((nb + mult - 1) // mult) * mult
+            blk = np.zeros((npad, self.db.dim), siv["emb"].dtype)
+            tl = np.full(npad, np.inf, np.float32)
+            rs = (np.ones(npad, np.float32) if siv["scales"] is not None
+                  else None)
+            perm_sl = np.full(npad, -1, np.int64)
+            at = 0
+            for a, b in ivf_mod.cluster_runs(cls):   # coalesced disk reads
+                lo, hi = a * c_rows, b * c_rows
+                m = hi - lo
+                blk[at:at + m] = siv["emb"][lo:hi]
+                tl[at:at + m] = siv["lengths"][lo:hi]
+                perm_sl[at:at + m] = siv["perm"][lo:hi]
+                if rs is not None:
+                    rs[at:at + m] = siv["scales"][lo:hi]
+                at += m
+            # fold mincov into the lengths (+inf padding survives: the scan
+            # then masks with tl <= qcap at mincov=1.0)
+            tlm = np.where(np.isfinite(tl),
+                           tl * np.float32(mincov if use_len else 0.0),
+                           np.inf).astype(np.float32)
+            kk = min(k, nb)
+            if not quant and self.quantized:
+                # int8 requested off-TPU (tests): dequantised f32 fallback
+                blk = blk.astype(np.float32) * np.asarray(rs)[:, None]
+            elif not fused and blk.dtype != np.float32:
+                blk = blk.astype(np.float32)  # bf16 sidecar off-TPU
+            if self.mesh is not None:
+                key = ("sivf", kk, fused, quant)
+                if key not in self._mesh_fns:
+                    self._mesh_fns[key] = build_mesh_search(
+                        self.mesh, kk, chunk, 1.0, True, self.selection,
+                        self.recall_target, fused=fused, quantized=quant)
+                dtl = jax.device_put(tlm, len_sh)
+                if quant:
+                    vals, idxs = self._mesh_fns[key](
+                        dq8, jax.device_put(blk, row_sh), dtl,
+                        jnp.asarray([npad], jnp.int32), dqcap,
+                        jax.device_put(rs, len_sh))
+                    vals = vals * dqs[:, None]
+                else:
+                    vals, idxs = self._mesh_fns[key](
+                        dq.astype(self.dtype) if fused else dq,
+                        jax.device_put(blk, row_sh), dtl,
+                        jnp.asarray([npad], jnp.int32), dqcap, dtl)
+            elif quant:
+                vals, idxs = pallas_scan.fused_topk(
+                    dq8, jnp.asarray(blk), npad, kk, tlen=jnp.asarray(tlm),
+                    qlen=dqcap, mincov=1.0, use_len=True,
+                    scales=jnp.asarray(rs))
+                vals = vals * dqs[:, None]
+            elif fused:
+                vals, idxs = pallas_scan.fused_topk(
+                    dq.astype(self.dtype), jnp.asarray(blk), npad, kk,
+                    tlen=jnp.asarray(tlm), qlen=dqcap, mincov=1.0,
+                    use_len=True)
+            else:
+                vals, idxs = topk_ops.topk_scan(
+                    dq, jnp.asarray(blk), npad, kk, min(chunk, npad),
+                    tlen=jnp.asarray(tlm), qlen=dqcap, mincov=1.0,
+                    selection=self.selection,
+                    recall_target=self.recall_target)
+            # staged offsets -> original row ids (host, [Q,kk] small)
+            iv = np.asarray(idxs)
+            orig = np.where(iv >= 0, perm_sl[np.maximum(iv, 0)], -1)
+            partial_vals.append(np.asarray(vals, np.float32))
+            partial_idxs.append(orig.astype(np.int32))
+            staged_rows += nb
+        kk = max(v.shape[1] for v in partial_vals)
+        pv = np.stack([np.pad(v, ((0, 0), (0, kk - v.shape[1])),
+                              constant_values=-np.inf)
+                       for v in partial_vals])
+        pi = np.stack([np.pad(i, ((0, 0), (0, kk - i.shape[1])),
+                              constant_values=-1) for i in partial_idxs])
+        vals, idxs = topk_ops.merge_partials(jnp.asarray(pv), jnp.asarray(pi),
+                                             min(k, staged_rows))
+        vals = np.asarray(vals, np.float32)
+        idxs = np.asarray(idxs)
+        if vals.shape[1] < k:  # fewer probed rows than k: pad like a miss
+            pad = k - vals.shape[1]
+            vals = np.pad(vals, ((0, 0), (0, pad)), constant_values=-np.inf)
+            idxs = np.pad(idxs, ((0, 0), (0, pad)), constant_values=-1)
+        logger.info("stream-IVF: %d/%d clusters staged (%d rows, %.1f%% of "
+                    "DB) in %.3fs", len(union), nlist, staged_rows,
+                    100.0 * staged_rows / max(len(siv["perm"]), 1),
+                    time.time() - t0)
+        return np.asarray(vals, np.float32), np.asarray(idxs)
 
     # -- streaming ----------------------------------------------------------
     def _stream_search(self, q, k, qlen, mincov, use_len):

@@ -342,3 +342,108 @@ def ivf_search(q, db_perm, centroids, perm, k, nprobe, tlen=None, qlen=None,
     return _probe_and_select(q8 if q8 is not None else q, db_perm, perm,
                              bidx, k, tlen, qlen, mincov,
                              use_len, interpret, scales=scales)
+
+
+# -- disk-streaming IVF -------------------------------------------------------
+# For DBs larger than the mesh's HBM the resident IVF cannot serve, but the
+# probe structure still makes search sublinear in HOST IO: persist the
+# cluster-contiguous permuted layout on disk once, then per query batch
+# stage only the union of probed clusters host->device and run the ordinary
+# flat scan over the staged rows (exact within the probed set). Host reads
+# per batch are ~ nprobe/nlist of the DB instead of all of it — the moral
+# equivalent of faiss's on-disk inverted lists, reshaped for the TPU: fixed
+# cluster slots, contiguous ranges, no ragged lists. (reference context:
+# faiss IVF is merizo_search's scalability story, README.md:13-18.)
+
+_DISK_DTYPES = {"int8": np.int8, "f32": np.float32}
+
+
+def _disk_dtype(precision: str):
+    if precision == "bf16":
+        return np.dtype("bfloat16")  # ml_dtypes-registered
+    return _DISK_DTYPES[precision]
+
+
+def write_disk_ivf(emb, lengths: np.ndarray, nlist: int, path_prefix: str,
+                   precision: str = "int8", iters: int = 10,
+                   train_sample: int = 1 << 18, seed: int = 0) -> dict:
+    """Build an IVF and persist the cluster-contiguous layout as sidecars.
+
+    emb: [N, D] NORMALISED embeddings (array or memmap — rows are read in
+    bounded slabs). Writes next to `path_prefix`:
+      .npz     centroids [nlist,D] f32, cluster_rows, precision
+      .perm    int64 memmap [Npad] (permuted row -> original, -1 padding)
+      .emb     memmap [Npad, D] in `precision` (int8 block-quantised)
+      .scales  f32 memmap [Npad] (int8 only; block-uniform per 128 rows)
+      .len     f32 memmap [Npad] permuted lengths, +inf on padding rows
+               (so the scan's length mask excludes them)
+    Returns the loaded dict (see load_disk_ivf)."""
+    ivf = build_ivf(emb, nlist, iters=iters, train_sample=train_sample,
+                    seed=seed)
+    perm, c_rows = ivf["perm"], ivf["cluster_rows"]
+    npad, dim = len(perm), emb.shape[1]
+    dt = _disk_dtype(precision)
+    mm = np.memmap(path_prefix + ".emb", dtype=dt, mode="w+",
+                   shape=(npad, dim))
+    sc = (np.memmap(path_prefix + ".scales", np.float32, "w+", shape=(npad,))
+          if precision == "int8" else None)
+    CH = (1 << 18) // BLOCK * BLOCK  # slab rows; BLOCK-aligned so int8
+    #                                  scale blocks never straddle a slab
+    for lo in range(0, npad, CH):
+        hi = min(lo + CH, npad)
+        slab = permute_rows(emb, perm[lo:hi], np.float32)
+        if precision == "int8":
+            qv, s = ps.quantize_blocks(slab)
+            mm[lo:hi] = qv
+            sc[lo:hi] = s
+        else:
+            mm[lo:hi] = slab.astype(dt)
+    mm.flush()
+    if sc is not None:
+        sc.flush()
+    pm = np.memmap(path_prefix + ".perm", np.int64, "w+", shape=(npad,))
+    pm[:] = perm
+    pm.flush()
+    lp = np.memmap(path_prefix + ".len", np.float32, "w+", shape=(npad,))
+    lp[:] = np.inf
+    valid = perm >= 0
+    lp[valid] = np.asarray(lengths, np.float32)[perm[valid]]
+    lp.flush()
+    np.savez(path_prefix + ".npz", centroids=ivf["centroids"],
+             cluster_rows=c_rows, precision=precision, npad=npad, dim=dim)
+    logger.info("disk IVF written: %d clusters x %d rows (%s) at %s",
+                ivf["nlist"], c_rows, precision, path_prefix)
+    return load_disk_ivf(path_prefix)
+
+
+def load_disk_ivf(path_prefix: str) -> dict:
+    """Open a write_disk_ivf sidecar set; arrays are read-only memmaps."""
+    z = np.load(path_prefix + ".npz")
+    precision = str(z["precision"])
+    npad, dim = int(z["npad"]), int(z["dim"])
+    return {
+        "centroids": z["centroids"],
+        "cluster_rows": int(z["cluster_rows"]),
+        "nlist": int(z["centroids"].shape[0]),
+        "precision": precision,
+        "emb": np.memmap(path_prefix + ".emb", _disk_dtype(precision), "r",
+                         shape=(npad, dim)),
+        "scales": (np.memmap(path_prefix + ".scales", np.float32, "r",
+                             shape=(npad,)) if precision == "int8" else None),
+        "perm": np.memmap(path_prefix + ".perm", np.int64, "r",
+                          shape=(npad,)),
+        "lengths": np.memmap(path_prefix + ".len", np.float32, "r",
+                             shape=(npad,)),
+    }
+
+
+def cluster_runs(cluster_ids: np.ndarray) -> list[tuple[int, int]]:
+    """Coalesce sorted unique cluster ids into [start, stop) runs so staging
+    reads the fewest contiguous disk ranges."""
+    if len(cluster_ids) == 0:
+        return []
+    breaks = np.nonzero(np.diff(cluster_ids) != 1)[0]
+    starts = np.concatenate([[0], breaks + 1])
+    stops = np.concatenate([breaks, [len(cluster_ids) - 1]])
+    return [(int(cluster_ids[a]), int(cluster_ids[b]) + 1)
+            for a, b in zip(starts, stops)]

@@ -289,3 +289,111 @@ def test_resident_bf16_sidecar_used(tmp_path, rng):
     np.testing.assert_allclose(v0, v1, atol=1e-2)
     bv, bi = _brute_force(q, embs, 5)
     _assert_topk_close(v1, i1, bv, bi, atol=2e-2)
+
+
+def _clustered_db(tmp_path, rng, n=1024, dim=128, ncent=8):
+    """mmap DB whose rows form clear clusters (IVF recall is meaningful)."""
+    cent = rng.normal(size=(ncent, dim)).astype(np.float32)
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    a = rng.integers(0, ncent, n)
+    embs = (cent[a] + 0.15 * rng.normal(size=(n, dim))).astype(np.float32)
+    prefix = str(tmp_path / "db_clustered")
+    w = codecs.MmapDBWriter(prefix, dim=dim)
+    for i in range(n):
+        ln = int(rng.integers(30, 300))
+        w.add(f"d{i:05d}", embs[i], rng.normal(size=(ln, 3)).astype(np.float32),
+              "A" * ln)
+    w.finalize()
+    return prefix, embs
+
+
+def test_stream_ivf_full_probe_is_exact(tmp_path, rng):
+    """nprobe = nlist stages every cluster -> exact match to brute force."""
+    prefix, embs = _clustered_db(tmp_path, rng, n=1024)
+    db = codecs.FlatDB.open(prefix)
+    eng = SearchEngine(db, chunk=128, max_device_gb=1e-9, stream_block=512,
+                       index="ivf", ivf_nlist=8, ivf_nprobe=8)
+    assert eng.mode == "stream"
+    q = rng.normal(size=(6, 128)).astype(np.float32)
+    vals, idxs = eng.search(q, k=10)
+    bv, bi = _brute_force(q, embs, 10)
+    _assert_topk_close(vals, idxs, bv, bi)
+    # sidecars were persisted; a fresh engine reuses them
+    eng2 = SearchEngine(codecs.FlatDB.open(prefix), chunk=128,
+                        max_device_gb=1e-9, index="ivf", ivf_nlist=8,
+                        ivf_nprobe=8)
+    eng2._load_stream_ivf()
+    assert eng2._sivf["nlist"] == eng._sivf["nlist"]
+    v2, i2 = eng2.search(q, k=10)
+    np.testing.assert_allclose(v2, vals, atol=1e-5)
+
+
+def test_stream_ivf_partial_probe_recall(tmp_path, rng):
+    """Low nprobe on clustered data: high recall, valid original indices,
+    and every returned hit's score is the true cosine of that row."""
+    prefix, embs = _clustered_db(tmp_path, rng, n=2048, ncent=16)
+    db = codecs.FlatDB.open(prefix)
+    eng = SearchEngine(db, chunk=128, max_device_gb=1e-9, stream_block=512,
+                       index="ivf", ivf_nlist=16, ivf_nprobe=4)
+    assert eng.mode == "stream"
+    q = (embs[rng.choice(len(embs), 16)]
+         + 0.05 * rng.normal(size=(16, 128))).astype(np.float32)
+    vals, idxs = eng.search(q, k=10)
+    bv, bi = _brute_force(q, embs, 10)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    en = embs / np.linalg.norm(embs, axis=1, keepdims=True)
+    hit = 0
+    for qi in range(len(q)):
+        got = [int(x) for x in idxs[qi] if x >= 0]
+        assert len(set(got)) == len(got)             # no duplicate rows
+        for rank, r in enumerate(got):               # scores are true cosines
+            np.testing.assert_allclose(vals[qi, rank], qn[qi] @ en[r],
+                                       atol=1e-4)
+        hit += len(set(got) & set(bi[qi].tolist()))
+    assert hit / (len(q) * 10) > 0.8                 # recall@10 on clusters
+
+
+def test_stream_ivf_mincov_filter(tmp_path, rng):
+    prefix, embs = _clustered_db(tmp_path, rng, n=1024)
+    db = codecs.FlatDB.open(prefix)
+    lengths = db.lengths().astype(np.float32)
+    eng = SearchEngine(db, chunk=128, max_device_gb=1e-9, index="ivf",
+                       ivf_nlist=8, ivf_nprobe=8)
+    q = rng.normal(size=(4, 128)).astype(np.float32)
+    qlen = np.asarray([40.0, 100.0, 250.0, 400.0], np.float32)
+    vals, idxs = eng.search(q, k=20, query_lens=qlen, mincov=0.7)
+    for qi in range(4):
+        for r in idxs[qi]:
+            if r >= 0:
+                assert qlen[qi] >= lengths[r] * 0.7
+
+
+def test_stream_ivf_int8(tmp_path, rng):
+    """int8 disk sidecar end-to-end (f32-equivalent scan off-TPU)."""
+    prefix, embs = _clustered_db(tmp_path, rng, n=1024)
+    db = codecs.FlatDB.open(prefix)
+    eng = SearchEngine(db, chunk=128, dtype=jnp.int8, max_device_gb=1e-9,
+                       index="ivf", ivf_nlist=8, ivf_nprobe=8)
+    assert eng.quantized
+    q = rng.normal(size=(5, 128)).astype(np.float32)
+    vals, idxs = eng.search(q, k=10)
+    bv, bi = _brute_force(q, embs, 10)
+    # int8 quantisation perturbs scores ~1e-2; check overlap instead
+    for qi in range(5):
+        got = set(int(x) for x in idxs[qi])
+        assert len(got & set(bi[qi].tolist())) >= 8
+
+
+def test_stream_ivf_with_mesh(tmp_path, rng):
+    """Disk-streaming IVF with each staged group row-sharded over a mesh."""
+    prefix, embs = _clustered_db(tmp_path, rng, n=1024)
+    db = codecs.FlatDB.open(prefix)
+    mesh = Mesh(np.array(jax.devices()[:4]), ("d",))
+    eng = SearchEngine(db, mesh=mesh, chunk=64, max_device_gb=1e-9,
+                       stream_block=512, index="ivf", ivf_nlist=8,
+                       ivf_nprobe=8)
+    assert eng.mode == "stream"
+    q = rng.normal(size=(6, 128)).astype(np.float32)
+    vals, idxs = eng.search(q, k=10)
+    bv, bi = _brute_force(q, embs, 10)
+    _assert_topk_close(vals, idxs, bv, bi)
