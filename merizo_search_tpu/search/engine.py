@@ -546,36 +546,60 @@ class SearchEngine:
             len_sh = NamedSharding(self.mesh, P(axis))
         partial_vals, partial_idxs = [], []
         staged_rows = 0
-        for g0 in range(0, len(union), cl_per_group):
-            cls = union[g0:g0 + cl_per_group]
-            nb = len(cls) * c_rows
-            npad = ((nb + mult - 1) // mult) * mult
-            blk = np.zeros((npad, self.db.dim), siv["emb"].dtype)
-            tl = np.full(npad, np.inf, np.float32)
-            rs = (np.ones(npad, np.float32) if siv["scales"] is not None
-                  else None)
-            perm_sl = np.full(npad, -1, np.int64)
-            at = 0
-            for a, b in ivf_mod.cluster_runs(cls):   # coalesced disk reads
-                lo, hi = a * c_rows, b * c_rows
-                m = hi - lo
-                blk[at:at + m] = siv["emb"][lo:hi]
-                tl[at:at + m] = siv["lengths"][lo:hi]
-                perm_sl[at:at + m] = siv["perm"][lo:hi]
-                if rs is not None:
-                    rs[at:at + m] = siv["scales"][lo:hi]
-                at += m
-            # fold mincov into the lengths (+inf padding survives: the scan
-            # then masks with tl <= qcap at mincov=1.0)
-            tlm = np.where(np.isfinite(tl),
-                           tl * np.float32(mincov if use_len else 0.0),
-                           np.inf).astype(np.float32)
+
+        # staging (disk range reads + mincov fold) runs in a producer thread
+        # so host IO overlaps the async-dispatched device scan of the
+        # previous cluster group — same double-buffer as _stream_search
+        def produce(out_q):
+            try:
+                for g0 in range(0, len(union), cl_per_group):
+                    cls = union[g0:g0 + cl_per_group]
+                    nb = len(cls) * c_rows
+                    npad = ((nb + mult - 1) // mult) * mult
+                    blk = np.zeros((npad, self.db.dim), siv["emb"].dtype)
+                    tl = np.full(npad, np.inf, np.float32)
+                    rs = (np.ones(npad, np.float32)
+                          if siv["scales"] is not None else None)
+                    perm_sl = np.full(npad, -1, np.int64)
+                    at = 0
+                    for a, b in ivf_mod.cluster_runs(cls):  # coalesced reads
+                        lo, hi = a * c_rows, b * c_rows
+                        m = hi - lo
+                        blk[at:at + m] = siv["emb"][lo:hi]
+                        tl[at:at + m] = siv["lengths"][lo:hi]
+                        perm_sl[at:at + m] = siv["perm"][lo:hi]
+                        if rs is not None:
+                            rs[at:at + m] = siv["scales"][lo:hi]
+                        at += m
+                    # fold mincov into the lengths (+inf padding survives:
+                    # the scan then masks with tl <= qcap at mincov=1.0)
+                    tlm = np.where(np.isfinite(tl),
+                                   tl * np.float32(mincov if use_len else 0.0),
+                                   np.inf).astype(np.float32)
+                    if not quant and self.quantized:
+                        # int8 requested off-TPU: dequantised f32 fallback
+                        blk = blk.astype(np.float32) * rs[:, None]
+                    elif not fused and blk.dtype != np.float32:
+                        blk = blk.astype(np.float32)  # bf16 sidecar off-TPU
+                    out_q.put((nb, npad, blk, tlm, rs, perm_sl))
+                out_q.put(None)
+            except BaseException as e:  # surface IO errors to the consumer
+                out_q.put(e)
+
+        import queue
+        import threading
+
+        qout: queue.Queue = queue.Queue(maxsize=2)
+        threading.Thread(target=produce, args=(qout,), daemon=True).start()
+
+        while True:
+            item = qout.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            nb, npad, blk, tlm, rs, perm_sl = item
             kk = min(k, nb)
-            if not quant and self.quantized:
-                # int8 requested off-TPU (tests): dequantised f32 fallback
-                blk = blk.astype(np.float32) * np.asarray(rs)[:, None]
-            elif not fused and blk.dtype != np.float32:
-                blk = blk.astype(np.float32)  # bf16 sidecar off-TPU
             if self.mesh is not None:
                 key = ("sivf", kk, fused, quant)
                 if key not in self._mesh_fns:
