@@ -434,6 +434,15 @@ def _topk_entries(x, k):
     return jnp.where(v <= -3.0e38, -jnp.inf, v), i
 
 
+def _topk_entries_capped(x, k):
+    """_topk_entries for inputs ALREADY masked with the finite NEG_CAP
+    sentinel (the phase-C gathers emit it): skips the full-width isfinite
+    clamp pass — one read+write of the [Q, ~k*BLOCK] score matrix — and
+    only restores -inf in the tiny [Q, k] output."""
+    v, i = _topk_finite(x, k)
+    return jnp.where(v <= -3.0e38, -jnp.inf, v), i
+
+
 def _gather_int(src, sel):
     """out[q, i] = src[q, sel[q, i]] for int32 src via a one-hot fp32 matmul.
 
@@ -535,7 +544,9 @@ def gather_block_scores_dma(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
     q [Qp,D] (int8 when quantized else db dtype), db [Npad,D],
     tlen2d [NB,BLOCK] f32, qcap [Qp] f32, bidx [Qp,KB] i32 (-1 = padding),
     scale_sel [Qp,KB] f32 per-selected-block scales (quantized only).
-    Returns scores [Qp, KB_padded*BLOCK] f32, -inf where masked/padded."""
+    Returns scores [Qp, KB_padded*BLOCK] f32; masked/padded entries carry
+    the finite NEG_CAP sentinel (use _topk_entries_capped to select and
+    restore -inf)."""
     qp, d = q.shape
     nb = db.shape[0] // BLOCK
     UNROLL = 6  # copies issued per loop iteration (see kernel note)
@@ -647,7 +658,10 @@ def gather_block_scores_dma(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
         mask = jnp.logical_and(cols >= 0, cols < nv_ref[0])      # bidx<0 = pad
         if use_len:
             mask = jnp.logical_and(mask, side_s[0][slot] <= qcap_ref[i])
-        out_ref[:] = jnp.where(mask, s, float("-inf")).reshape(1, 1, kb * BLOCK)
+        # masked entries get the FINITE NEG_CAP sentinel, not -inf: the
+        # final select then runs the finite-domain cover directly with no
+        # full-width isfinite clamp pass (callers restore -inf on output)
+        out_ref[:] = jnp.where(mask, s, NEG_CAP).reshape(1, 1, kb * BLOCK)
 
     side_args, side_scratch, side_semst = [], [], []
     if use_len:
@@ -678,8 +692,13 @@ def gather_block_scores_dma(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
     )(bidx, jnp.asarray([n_valid], jnp.int32), qcap, bidx, q, db, *side_args)
     out = out.reshape(qp, kb * BLOCK)
     if quantized:
-        out = (out.reshape(qp, kb, BLOCK) * scale_sel[:, :, None]
-               ).reshape(qp, kb * BLOCK)
+        # dequantise only unmasked entries (fused into one elementwise pass
+        # by XLA): the NEG_CAP sentinel must survive EXACTLY — a bare
+        # multiply would rescale it by the block scale, breaking the
+        # callers' restore threshold for very small or large scales
+        o3 = out.reshape(qp, kb, BLOCK)
+        out = jnp.where(o3 <= NEG_CAP, o3,
+                        o3 * scale_sel[:, :, None]).reshape(qp, kb * BLOCK)
     return out
 
 
@@ -709,8 +728,9 @@ def gather_block_scores(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
     scales [Npad] f32 dequant scales for int8 DBs (else None) — block-uniform
     per 128-row block (`quantize_blocks` layout), read per-row here so the
     rescored values equal scale * int32-dot exactly.
-    Returns scores [Qp, KB_padded*BLOCK] f32 with KB_padded = ceil(KB/g)*g,
-    -inf where masked/padded.
+    Returns scores [Qp, KB_padded*BLOCK] f32 with KB_padded = ceil(KB/g)*g;
+    masked/padded entries carry the finite NEG_CAP sentinel (use
+    _topk_entries_capped to select and restore -inf).
 
     The scalar-prefetched bidx drives the BlockSpec index maps, so Mosaic's
     pipeline DMAs exactly the selected 32 KB block slabs from HBM —
@@ -791,7 +811,9 @@ def gather_block_scores(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
                 [rest[base * g + gg][:].reshape(1, BLOCK) for gg in range(g)],
                 axis=1)
             s = s * rs
-        s = jnp.where(mask, s, float("-inf"))
+        # finite NEG_CAP sentinel (see gather_block_scores_dma): callers run
+        # the finite-domain select directly and restore -inf on output
+        s = jnp.where(mask, s, NEG_CAP)
         out_ref[:] = s.reshape(1, 1, g, BLOCK)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -984,7 +1006,7 @@ def fused_topk(q, db, n_valid, k, tlen=None, qlen=None, mincov=0.0,
     if kbp != bidx.shape[1]:  # the gather pads bidx columns to its group size
         bidx = jnp.pad(bidx, ((0, 0), (0, kbp - bidx.shape[1])),
                        constant_values=-1)
-    v, sel = _topk_entries(scores, k)
+    v, sel = _topk_entries_capped(scores, k)
     # candidate slot -> db row arithmetically: gather only block ids
     # (< 2^24, exact in the fp32 one-hot product) and rebuild the row id
     # in int32 — a take_along_axis here costs ~0.26 ms in scalar gathers

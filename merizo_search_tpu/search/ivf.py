@@ -260,10 +260,10 @@ def _probe_and_select(q, db_perm, perm, bidx, k, tlen, qlen, mincov, use_len,
             + np.arange(BLOCK)[None, None, :]).reshape(qp, kbp * BLOCK)
     if scores.shape[1] != ridx.shape[1]:
         # the gather pads its column range (UNROLL / SMEM-chunk multiples);
-        # padded columns carry -inf scores, so map them to row -1
+        # padded columns carry sentinel scores, so map them to row -1
         ridx = jnp.pad(ridx, ((0, 0), (0, scores.shape[1] - ridx.shape[1])),
                        constant_values=-1)
-    v, sel = ps._topk_entries(scores, k)
+    v, sel = ps._topk_entries_capped(scores, k)
     pidx = jnp.take_along_axis(ridx, sel, axis=1)          # permuted rows
     idx = perm[jnp.clip(pidx, 0, len(perm) - 1)].astype(jnp.int32)
     idx = jnp.where(jnp.isfinite(v) & (pidx >= 0), idx, -1)
