@@ -223,7 +223,8 @@ def blockmax_scan(q, db, n_valid, tlen, qcap, tile=DEFAULT_TILE,
     sbw = 128 if nsteps % 128 == 0 else nsteps  # SBM lane-block width
     # row sub-slabs for MXU/VPU interleave (see _bm_kernel); int8's faster
     # matmul leaves more reduce time to hide, so it splits finer
-    nslab = int(os.environ.get("MERIZO_NSLAB", "0")) or (4 if quantized else 2)
+    nslab = max(0, int(os.environ.get("MERIZO_NSLAB", "0"))
+                ) or (4 if quantized else 2)
     while tile // nslab < BLOCK or (tile // nslab) % BLOCK:
         nslab //= 2
     nbt = tile // BLOCK
@@ -660,8 +661,12 @@ def gather_block_scores_dma(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
             mask = jnp.logical_and(mask, side_s[0][slot] <= qcap_ref[i])
         # masked entries get the FINITE NEG_CAP sentinel, not -inf: the
         # final select then runs the finite-domain cover directly with no
-        # full-width isfinite clamp pass (callers restore -inf on output)
-        out_ref[:] = jnp.where(mask, s, NEG_CAP).reshape(1, 1, kb * BLOCK)
+        # full-width isfinite clamp pass (callers restore -inf on output).
+        # s == s also floors NaN scores from corrupt (NaN-embedding) DB rows
+        # — the finite-domain select has no NaN guards of its own — fused
+        # into the same select at zero extra memory traffic.
+        out_ref[:] = jnp.where(jnp.logical_and(mask, s == s), s,
+                               NEG_CAP).reshape(1, 1, kb * BLOCK)
 
     side_args, side_scratch, side_semst = [], [], []
     if use_len:
@@ -812,8 +817,9 @@ def gather_block_scores(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
                 axis=1)
             s = s * rs
         # finite NEG_CAP sentinel (see gather_block_scores_dma): callers run
-        # the finite-domain select directly and restore -inf on output
-        s = jnp.where(mask, s, NEG_CAP)
+        # the finite-domain select directly and restore -inf on output;
+        # s == s floors NaN scores from corrupt DB rows
+        s = jnp.where(jnp.logical_and(mask, s == s), s, NEG_CAP)
         out_ref[:] = s.reshape(1, 1, g, BLOCK)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -53,6 +53,48 @@ def _normalize_rows(x: np.ndarray) -> np.ndarray:
     return (x / np.maximum(n, 1e-12)).astype(x.dtype)
 
 
+class _StagePipe:
+    """Bounded producer->consumer handoff for the streaming scans.
+
+    The producer thread must never outlive a failed search: if the consumer
+    raises (device OOM, bad input) while the producer is blocked in put(),
+    a plain Queue would pin the thread — and its staged multi-hundred-MB
+    buffers — for the life of the process. close() sets a stop flag and
+    drains, so a blocked producer always exits."""
+
+    def __init__(self, maxsize: int = 2):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=maxsize)
+        self._stop = threading.Event()
+
+    def put(self, item) -> bool:
+        """Producer side; returns False when the consumer has gone away."""
+        import queue
+
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def get(self):
+        return self._q.get()
+
+    def close(self):
+        import queue
+
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+
+
 def build_mesh_search(mesh: Mesh, k: int, chunk: int, mincov: float, use_lengths: bool,
                       selection: str = "exact", recall_target: float = 0.95,
                       fused: bool = False, fused_tile: int | None = None,
@@ -171,11 +213,7 @@ class SearchEngine:
             # k-means trains on a sample and scores in chunks, so a memmap
             # (mmap layout, already normalised) is used as-is; only raw pt
             # DBs (small) are materialised for normalisation
-            if self.db.normalised:
-                emb = self.db.embeddings()
-            else:
-                emb = _normalize_rows(np.asarray(self.db.embeddings(),
-                                                 dtype=np.float32))
+            emb = self._normalised_embeddings()
             lengths = self.db.lengths().astype(np.float32)
             from . import ivf as ivf_mod
 
@@ -468,6 +506,28 @@ class SearchEngine:
             idxs = np.concatenate([idxs, pad_i], axis=1)
         return vals, idxs
 
+    def _normalised_embeddings(self):
+        """Unit-norm embedding view for index builds: the mmap layout is
+        stored normalised (memmap used as-is, rows fancy-indexed in bounded
+        slabs); raw pt DBs (small) are materialised and normalised."""
+        if self.db.normalised:
+            return self.db.embeddings()
+        return _normalize_rows(np.asarray(self.db.embeddings(),
+                                          dtype=np.float32))
+
+    def _db_fingerprint(self):
+        """Cheap identity of the DB content for sidecar-staleness checks:
+        (rows, dim, embeddings-file size, embeddings-file mtime)."""
+        f = getattr(self.db.embeddings(), "filename", None)
+        if f is None:
+            prefix = getattr(self.db, "prefix", None)
+            f = prefix + ".pt" if prefix else None
+        fsz = mt = 0
+        if f and os.path.exists(f):
+            st = os.stat(f)
+            fsz, mt = st.st_size, int(st.st_mtime)
+        return np.asarray([self.db.size, self.db.dim, fsz, mt], np.int64)
+
     # -- disk-streaming IVF --------------------------------------------------
     def _load_stream_ivf(self):
         """Build-or-open the cluster-contiguous disk sidecar (ivf.py)."""
@@ -483,17 +543,24 @@ class SearchEngine:
             raise ValueError("disk-streaming IVF needs an on-disk DB "
                              "(no prefix to place the sidecars next to)")
         p = f"{prefix}.ivfdisk{self.ivf_nlist}.{prec}"
+        fp = self._db_fingerprint()
         if os.path.exists(p + ".npz"):
             self._sivf = ivf_mod.load_disk_ivf(p)
-            logger.info("disk IVF loaded from %s (%.2fs)", p, time.time() - t0)
-        else:
-            if self.db.normalised:
-                emb = self.db.embeddings()
+            # the sidecar snapshots the EMBEDDINGS, not just the index — a
+            # rebuilt/extended DB must invalidate it or stale rows would be
+            # served silently
+            old = self._sivf.get("fingerprint")
+            if old is None or not np.array_equal(old, fp):
+                logger.warning("disk IVF sidecar at %s is stale (DB changed);"
+                               " rebuilding", p)
+                self._sivf = None
             else:
-                emb = _normalize_rows(np.asarray(self.db.embeddings(),
-                                                 dtype=np.float32))
+                logger.info("disk IVF loaded from %s (%.2fs)", p,
+                            time.time() - t0)
+        if self._sivf is None:
             self._sivf = ivf_mod.write_disk_ivf(
-                emb, self.db.lengths(), self.ivf_nlist, p, precision=prec)
+                self._normalised_embeddings(), self.db.lengths(),
+                self.ivf_nlist, p, precision=prec, fingerprint=fp)
             logger.info("disk IVF built at %s (%.2fs)", p, time.time() - t0)
         self._sivf["dcent"] = jax.device_put(
             self._sivf["centroids"].astype(np.float32))
@@ -518,6 +585,9 @@ class SearchEngine:
         on_tpu = jax.default_backend() == "tpu"
         fused = (self.dtype == jnp.bfloat16 or self.quantized) and on_tpu
         quant = self.quantized and on_tpu
+        if q.shape[0] == 0:  # empty batch: nothing to probe or stage
+            return (np.full((0, k), -np.inf, np.float32),
+                    np.full((0, k), -1, np.int32))
 
         t0 = time.time()
         dq = jnp.asarray(q)
@@ -536,9 +606,12 @@ class SearchEngine:
             q8_np, qs_np = pallas_scan.quantize_rows(q)
             dq8, dqs = jnp.asarray(q8_np), jnp.asarray(qs_np)
 
-        # staging groups bounded by the stream block size
+        # staging groups bounded by the stream block size. The non-fused
+        # alignment is one cluster slot (BLOCK-aligned), NOT the full scan
+        # chunk — padding a small probe union to ndev * 2^20 rows would
+        # stage mostly zeros and defeat the sublinear-IO point
         cl_per_group = max(1, self.stream_block // c_rows)
-        chunk = min(self.chunk, max(c_rows, self.stream_block))
+        chunk = min(self.chunk, c_rows)
         mult = self.ndev * (pallas_scan.DEFAULT_TILE if fused else chunk)
         if self.mesh is not None:
             axis = self.mesh.axis_names[0]
@@ -550,7 +623,7 @@ class SearchEngine:
         # staging (disk range reads + mincov fold) runs in a producer thread
         # so host IO overlaps the async-dispatched device scan of the
         # previous cluster group — same double-buffer as _stream_search
-        def produce(out_q):
+        def produce():
             try:
                 for g0 in range(0, len(union), cl_per_group):
                     cls = union[g0:g0 + cl_per_group]
@@ -581,66 +654,66 @@ class SearchEngine:
                         blk = blk.astype(np.float32) * rs[:, None]
                     elif not fused and blk.dtype != np.float32:
                         blk = blk.astype(np.float32)  # bf16 sidecar off-TPU
-                    out_q.put((nb, npad, blk, tlm, rs, perm_sl))
-                out_q.put(None)
+                    if not pipe.put((nb, npad, blk, tlm, rs, perm_sl)):
+                        return  # consumer gone
+                pipe.put(None)
             except BaseException as e:  # surface IO errors to the consumer
-                out_q.put(e)
+                pipe.put(e)
 
-        import queue
         import threading
 
-        qout: queue.Queue = queue.Queue(maxsize=2)
-        threading.Thread(target=produce, args=(qout,), daemon=True).start()
+        pipe = _StagePipe(maxsize=2)
+        threading.Thread(target=produce, daemon=True).start()
 
-        while True:
-            item = qout.get()
-            if item is None:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            nb, npad, blk, tlm, rs, perm_sl = item
-            kk = min(k, nb)
-            if self.mesh is not None:
-                key = ("sivf", kk, fused, quant)
-                if key not in self._mesh_fns:
-                    self._mesh_fns[key] = build_mesh_search(
-                        self.mesh, kk, chunk, 1.0, True, self.selection,
-                        self.recall_target, fused=fused, quantized=quant)
-                dtl = jax.device_put(tlm, len_sh)
-                if quant:
-                    vals, idxs = self._mesh_fns[key](
-                        dq8, jax.device_put(blk, row_sh), dtl,
-                        jnp.asarray([npad], jnp.int32), dqcap,
-                        jax.device_put(rs, len_sh))
+        try:
+            for item in iter(pipe.get, None):
+                if isinstance(item, BaseException):
+                    raise item
+                nb, npad, blk, tlm, rs, perm_sl = item
+                kk = min(k, nb)
+                if self.mesh is not None:
+                    key = ("sivf", kk, fused, quant)
+                    if key not in self._mesh_fns:
+                        self._mesh_fns[key] = build_mesh_search(
+                            self.mesh, kk, chunk, 1.0, True, self.selection,
+                            self.recall_target, fused=fused, quantized=quant)
+                    dtl = jax.device_put(tlm, len_sh)
+                    if quant:
+                        vals, idxs = self._mesh_fns[key](
+                            dq8, jax.device_put(blk, row_sh), dtl,
+                            jnp.asarray([npad], jnp.int32), dqcap,
+                            jax.device_put(rs, len_sh))
+                        vals = vals * dqs[:, None]
+                    else:
+                        vals, idxs = self._mesh_fns[key](
+                            dq.astype(self.dtype) if fused else dq,
+                            jax.device_put(blk, row_sh), dtl,
+                            jnp.asarray([npad], jnp.int32), dqcap, dtl)
+                elif quant:
+                    vals, idxs = pallas_scan.fused_topk(
+                        dq8, jnp.asarray(blk), npad, kk,
+                        tlen=jnp.asarray(tlm), qlen=dqcap, mincov=1.0,
+                        use_len=True, scales=jnp.asarray(rs))
                     vals = vals * dqs[:, None]
+                elif fused:
+                    vals, idxs = pallas_scan.fused_topk(
+                        dq.astype(self.dtype), jnp.asarray(blk), npad, kk,
+                        tlen=jnp.asarray(tlm), qlen=dqcap, mincov=1.0,
+                        use_len=True)
                 else:
-                    vals, idxs = self._mesh_fns[key](
-                        dq.astype(self.dtype) if fused else dq,
-                        jax.device_put(blk, row_sh), dtl,
-                        jnp.asarray([npad], jnp.int32), dqcap, dtl)
-            elif quant:
-                vals, idxs = pallas_scan.fused_topk(
-                    dq8, jnp.asarray(blk), npad, kk, tlen=jnp.asarray(tlm),
-                    qlen=dqcap, mincov=1.0, use_len=True,
-                    scales=jnp.asarray(rs))
-                vals = vals * dqs[:, None]
-            elif fused:
-                vals, idxs = pallas_scan.fused_topk(
-                    dq.astype(self.dtype), jnp.asarray(blk), npad, kk,
-                    tlen=jnp.asarray(tlm), qlen=dqcap, mincov=1.0,
-                    use_len=True)
-            else:
-                vals, idxs = topk_ops.topk_scan(
-                    dq, jnp.asarray(blk), npad, kk, min(chunk, npad),
-                    tlen=jnp.asarray(tlm), qlen=dqcap, mincov=1.0,
-                    selection=self.selection,
-                    recall_target=self.recall_target)
-            # staged offsets -> original row ids (host, [Q,kk] small)
-            iv = np.asarray(idxs)
-            orig = np.where(iv >= 0, perm_sl[np.maximum(iv, 0)], -1)
-            partial_vals.append(np.asarray(vals, np.float32))
-            partial_idxs.append(orig.astype(np.int32))
-            staged_rows += nb
+                    vals, idxs = topk_ops.topk_scan(
+                        dq, jnp.asarray(blk), npad, kk, min(chunk, npad),
+                        tlen=jnp.asarray(tlm), qlen=dqcap, mincov=1.0,
+                        selection=self.selection,
+                        recall_target=self.recall_target)
+                # staged offsets -> original row ids (host, [Q,kk] small)
+                iv = np.asarray(idxs)
+                orig = np.where(iv >= 0, perm_sl[np.maximum(iv, 0)], -1)
+                partial_vals.append(np.asarray(vals, np.float32))
+                partial_idxs.append(orig.astype(np.int32))
+                staged_rows += nb
+        finally:
+            pipe.close()  # unblock the producer if we raised mid-stream
         kk = max(v.shape[1] for v in partial_vals)
         pv = np.stack([np.pad(v, ((0, 0), (0, kk - v.shape[1])),
                               constant_values=-np.inf)
@@ -663,7 +736,6 @@ class SearchEngine:
 
     # -- streaming ----------------------------------------------------------
     def _stream_search(self, q, k, qlen, mincov, use_len):
-        import queue
         import threading
 
         t0 = time.time()
@@ -704,7 +776,7 @@ class SearchEngine:
             b = pallas_scan.BLOCK
             block = max(b, (block // b) * b)
 
-        def produce(out_q):
+        def produce():
             try:
                 for off in range(0, self.db.size, block):
                     rs = None
@@ -742,73 +814,77 @@ class SearchEngine:
                         pass  # int8 requested off-TPU: f32 fallback scan
                     elif self.dtype != jnp.float32:
                         blk = blk.astype(np.dtype("bfloat16"))
-                    out_q.put((off, nb, blk, tl, rs))
-                out_q.put(None)
+                    if not pipe.put((off, nb, blk, tl, rs)):
+                        return  # consumer gone
+                pipe.put(None)
             except BaseException as e:  # surface IO errors to the consumer
-                out_q.put(e)
+                pipe.put(e)
 
-        qout: queue.Queue = queue.Queue(maxsize=2)
-        threading.Thread(target=produce, args=(qout,), daemon=True).start()
+        pipe = _StagePipe(maxsize=2)
+        threading.Thread(target=produce, daemon=True).start()
 
         seen = 0
-        while True:
-            item = qout.get()
-            if item is None:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            off, nb, blk, tl, rs = item
-            if self.mesh is not None:
-                kk = min(k, nb)
-                key = ("stream", kk, use_len, fused, quant, float(mincov))
-                if key not in self._mesh_fns:
-                    self._mesh_fns[key] = build_mesh_search(
-                        self.mesh, kk, chunk, float(mincov), use_len,
-                        self.selection, self.recall_target, fused=fused,
-                        quantized=quant)
-                dtl = jax.device_put(tl, len_sh)
-                if quant:
-                    # int8 superblock: rows + per-row scales sharded together;
-                    # queries quantised once, per-query scale applied after
+        try:
+            while True:
+                item = pipe.get()
+                if item is None:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                off, nb, blk, tl, rs = item
+                if self.mesh is not None:
+                    kk = min(k, nb)
+                    key = ("stream", kk, use_len, fused, quant, float(mincov))
+                    if key not in self._mesh_fns:
+                        self._mesh_fns[key] = build_mesh_search(
+                            self.mesh, kk, chunk, float(mincov), use_len,
+                            self.selection, self.recall_target, fused=fused,
+                            quantized=quant)
+                    dtl = jax.device_put(tl, len_sh)
+                    if quant:
+                        # int8 superblock: rows + per-row scales sharded together;
+                        # queries quantised once, per-query scale applied after
+                        if dq8 is None:
+                            q8_np, qs_np = pallas_scan.quantize_rows(np.asarray(q))
+                            dq8, dqs = jnp.asarray(q8_np), jnp.asarray(qs_np)
+                        vals, idxs = self._mesh_fns[key](
+                            dq8, jax.device_put(blk, row_sh), dtl,
+                            jnp.asarray([nb], jnp.int32), dqlen,
+                            jax.device_put(rs, len_sh))
+                        vals = vals * dqs[:, None]
+                    else:
+                        vals, idxs = self._mesh_fns[key](
+                            dq_cast, jax.device_put(blk, row_sh), dtl,
+                            jnp.asarray([nb], jnp.int32), dqlen,
+                            dtl)  # dummy scale shard on the non-quantised path
+                elif quant:
                     if dq8 is None:
                         q8_np, qs_np = pallas_scan.quantize_rows(np.asarray(q))
                         dq8, dqs = jnp.asarray(q8_np), jnp.asarray(qs_np)
-                    vals, idxs = self._mesh_fns[key](
-                        dq8, jax.device_put(blk, row_sh), dtl,
-                        jnp.asarray([nb], jnp.int32), dqlen,
-                        jax.device_put(rs, len_sh))
+                    vals, idxs = pallas_scan.fused_topk(
+                        dq8, jnp.asarray(blk), nb, min(k, nb),
+                        tlen=jnp.asarray(tl) if use_len else None,
+                        qlen=dqlen if use_len else None, mincov=float(mincov),
+                        use_len=use_len, scales=jnp.asarray(rs))
                     vals = vals * dqs[:, None]
+                elif fused:
+                    vals, idxs = pallas_scan.fused_topk(
+                        dq.astype(self.dtype), jnp.asarray(blk), nb, min(k, nb),
+                        tlen=jnp.asarray(tl) if use_len else None,
+                        qlen=dqlen if use_len else None, mincov=float(mincov),
+                        use_len=use_len)
                 else:
-                    vals, idxs = self._mesh_fns[key](
-                        dq_cast, jax.device_put(blk, row_sh), dtl,
-                        jnp.asarray([nb], jnp.int32), dqlen,
-                        dtl)  # dummy scale shard on the non-quantised path
-            elif quant:
-                if dq8 is None:
-                    q8_np, qs_np = pallas_scan.quantize_rows(np.asarray(q))
-                    dq8, dqs = jnp.asarray(q8_np), jnp.asarray(qs_np)
-                vals, idxs = pallas_scan.fused_topk(
-                    dq8, jnp.asarray(blk), nb, min(k, nb),
-                    tlen=jnp.asarray(tl) if use_len else None,
-                    qlen=dqlen if use_len else None, mincov=float(mincov),
-                    use_len=use_len, scales=jnp.asarray(rs))
-                vals = vals * dqs[:, None]
-            elif fused:
-                vals, idxs = pallas_scan.fused_topk(
-                    dq.astype(self.dtype), jnp.asarray(blk), nb, min(k, nb),
-                    tlen=jnp.asarray(tl) if use_len else None,
-                    qlen=dqlen if use_len else None, mincov=float(mincov),
-                    use_len=use_len)
-            else:
-                vals, idxs = topk_ops.topk_scan(
-                    dq, jnp.asarray(blk), nb, min(k, nb), chunk,
-                    tlen=jnp.asarray(tl) if use_len else None,
-                    qlen=dqlen if use_len else None, mincov=float(mincov),
-                    selection=self.selection, recall_target=self.recall_target)
-            partial_vals.append(vals)
-            partial_idxs.append(jnp.where(idxs >= 0, idxs + off, idxs))
-            seen += nb
-            logger.info("%d DB elements, %.3f s", seen, time.time() - t0)
+                    vals, idxs = topk_ops.topk_scan(
+                        dq, jnp.asarray(blk), nb, min(k, nb), chunk,
+                        tlen=jnp.asarray(tl) if use_len else None,
+                        qlen=dqlen if use_len else None, mincov=float(mincov),
+                        selection=self.selection, recall_target=self.recall_target)
+                partial_vals.append(vals)
+                partial_idxs.append(jnp.where(idxs >= 0, idxs + off, idxs))
+                seen += nb
+                logger.info("%d DB elements, %.3f s", seen, time.time() - t0)
+        finally:
+            pipe.close()  # unblock the producer if we raised mid-stream
         kk = max(v.shape[1] for v in partial_vals)
         pv = jnp.stack([jnp.pad(v, ((0, 0), (0, kk - v.shape[1])),
                                 constant_values=-jnp.inf) for v in partial_vals])

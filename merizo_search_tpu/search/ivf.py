@@ -366,7 +366,8 @@ def _disk_dtype(precision: str):
 
 def write_disk_ivf(emb, lengths: np.ndarray, nlist: int, path_prefix: str,
                    precision: str = "int8", iters: int = 10,
-                   train_sample: int = 1 << 18, seed: int = 0) -> dict:
+                   train_sample: int = 1 << 18, seed: int = 0,
+                   fingerprint=None) -> dict:
     """Build an IVF and persist the cluster-contiguous layout as sidecars.
 
     emb: [N, D] NORMALISED embeddings (array or memmap — rows are read in
@@ -410,7 +411,9 @@ def write_disk_ivf(emb, lengths: np.ndarray, nlist: int, path_prefix: str,
     lp[valid] = np.asarray(lengths, np.float32)[perm[valid]]
     lp.flush()
     np.savez(path_prefix + ".npz", centroids=ivf["centroids"],
-             cluster_rows=c_rows, precision=precision, npad=npad, dim=dim)
+             cluster_rows=c_rows, precision=precision, npad=npad, dim=dim,
+             fingerprint=np.asarray(fingerprint if fingerprint is not None
+                                    else [], np.int64))
     logger.info("disk IVF written: %d clusters x %d rows (%s) at %s",
                 ivf["nlist"], c_rows, precision, path_prefix)
     return load_disk_ivf(path_prefix)
@@ -422,6 +425,7 @@ def load_disk_ivf(path_prefix: str) -> dict:
     precision = str(z["precision"])
     npad, dim = int(z["npad"]), int(z["dim"])
     return {
+        "fingerprint": z["fingerprint"] if "fingerprint" in z else None,
         "centroids": z["centroids"],
         "cluster_rows": int(z["cluster_rows"]),
         "nlist": int(z["centroids"].shape[0]),

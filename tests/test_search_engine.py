@@ -397,3 +397,47 @@ def test_stream_ivf_with_mesh(tmp_path, rng):
     vals, idxs = eng.search(q, k=10)
     bv, bi = _brute_force(q, embs, 10)
     _assert_topk_close(vals, idxs, bv, bi)
+
+
+def test_stream_ivf_stale_sidecar_rebuilt(tmp_path, rng):
+    """A rebuilt DB at the same prefix must invalidate the disk sidecar —
+    it snapshots the embeddings themselves, not just the index."""
+    import os
+    import time as _time
+
+    prefix, embs = _clustered_db(tmp_path, rng, n=512)
+    db = codecs.FlatDB.open(prefix)
+    eng = SearchEngine(db, chunk=128, max_device_gb=1e-9, index="ivf",
+                       ivf_nlist=4, ivf_nprobe=4)
+    q = rng.normal(size=(3, 128)).astype(np.float32)
+    eng.search(q, k=5)
+
+    # rewrite the DB in place with DIFFERENT embeddings (same size)
+    new_embs = rng.normal(size=embs.shape).astype(np.float32)
+    os.remove(prefix + ".json")
+    w = codecs.MmapDBWriter(prefix, dim=128)
+    for i in range(len(new_embs)):
+        w.add(f"d{i:05d}", new_embs[i],
+              rng.normal(size=(8, 3)).astype(np.float32), "A" * 8)
+    w.finalize()
+    now = _time.time() + 5
+    for f in os.listdir(tmp_path):  # force a distinct mtime second
+        fp = os.path.join(tmp_path, f)
+        if f.startswith("db_clustered") and "ivfdisk" not in f:
+            os.utime(fp, (now, now))
+
+    db2 = codecs.FlatDB.open(prefix)
+    eng2 = SearchEngine(db2, chunk=128, max_device_gb=1e-9, index="ivf",
+                        ivf_nlist=4, ivf_nprobe=4)
+    vals, idxs = eng2.search(q, k=5)
+    bv, bi = _brute_force(q, new_embs, 5)
+    _assert_topk_close(vals, idxs, bv, bi)
+
+
+def test_stream_ivf_empty_batch(tmp_path, rng):
+    prefix, embs = _clustered_db(tmp_path, rng, n=512)
+    eng = SearchEngine(codecs.FlatDB.open(prefix), chunk=128,
+                       max_device_gb=1e-9, index="ivf", ivf_nlist=4,
+                       ivf_nprobe=2)
+    vals, idxs = eng.search(np.zeros((0, 128), np.float32), k=5)
+    assert vals.shape == (0, 5) and idxs.shape == (0, 5)
