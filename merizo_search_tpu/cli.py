@@ -477,6 +477,10 @@ def dbinfo(argv):
     from .db.codecs import FlatDB, write_quantized_sidecar
 
     if args.write_sidecar:
+        if not os.path.exists(args.db_name + ".json"):
+            p.error("--write-sidecar needs an mmap-layout DB "
+                    f"({args.db_name}.json not found; .pt DBs are loaded "
+                    "whole and quantised in memory, no sidecar needed)")
         write_quantized_sidecar(args.db_name, args.write_sidecar)
 
     db = FlatDB.open(args.db_name)

@@ -386,8 +386,11 @@ class FlatDB:
         blk = np.asarray(self._emb[lo:hi], np.float32)
         self.max_block_read = max(self.max_block_read, hi - lo)
         if normalised and not self.normalised:
+            # out of place: for same-dtype arrays np.asarray returned a VIEW
+            # of the DB's backing store, and an in-place divide would
+            # silently rewrite the raw embeddings to unit norm
             n = np.linalg.norm(blk, axis=1, keepdims=True)
-            blk /= np.maximum(n, 1e-12)
+            blk = blk / np.maximum(n, 1e-12)
         return blk
 
     def read_rows_quant(self, lo: int, hi: int, kind: str):

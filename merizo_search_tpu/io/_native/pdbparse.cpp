@@ -5,8 +5,9 @@
 // records, atom-name columns 12..15 == " CA ", chain character at column
 // 21, coordinates in columns 30..53, residue name columns 17..19 mapped to
 // one-letter (unknown -> 'X'). Lines are treated as space-padded to 80
-// columns (short lines cannot match). No altloc handling, no model split —
-// identical to the numpy reader it replaces.
+// columns, truncated records included (missing fields read as 0.0 / 'X').
+// No altloc handling, no model split — identical to the numpy reader it
+// replaces.
 //
 // The numpy reader costs ~5 ms per 400-residue structure (line
 // matrixification dominates); this scan runs at memory speed, so an
@@ -95,9 +96,17 @@ int parse_ca(const char* buf, int64_t len, char chain, float* coords,
     const char* line = buf + pos;
     pos += ll + 1;
     if (ll > 0 && line[ll - 1] == '\r') ll--;  // splitlines() semantics
-    // needs at least the z-coordinate field (cols 46..53); shorter lines
-    // are space-padded in the numpy path and can never match " CA " + chain
-    if (ll < 54) continue;
+    // the numpy path space-pads every line to 80 columns before slicing
+    // fixed fields (missing float fields parse as 0.0) — replicate that
+    // for truncated records instead of dropping them, so both parsers
+    // yield identical residue sets on malformed files
+    char padded[80];
+    if (ll < 54) {
+      if (ll < 4) continue;  // cannot hold "ATOM"
+      memcpy(padded, line, static_cast<size_t>(ll));
+      memset(padded + ll, ' ', sizeof(padded) - static_cast<size_t>(ll));
+      line = padded;
+    }
     if (!(line[0] == 'A' && line[1] == 'T' && line[2] == 'O' &&
           line[3] == 'M'))
       continue;

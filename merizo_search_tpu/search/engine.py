@@ -301,6 +301,12 @@ class SearchEngine:
         n = self.db.size
         dim = self.db.dim
         self._chunk_eff = max(8, min(self.chunk, ((n // self.ndev) + 7) // 8 * 8))
+        if self.quantized and self.db.has_quant("int8"):
+            # int8 sidecar reads must start on 128-row scale-block
+            # boundaries; shard starts are multiples of chunk_eff
+            self._chunk_eff = max(
+                pallas_scan.BLOCK,
+                -(-self._chunk_eff // pallas_scan.BLOCK) * pallas_scan.BLOCK)
         mult = self.ndev * self._chunk_eff
         if self._fused:
             mult = self.ndev * pallas_scan.DEFAULT_TILE

@@ -164,3 +164,20 @@ def test_read_rows_normalises_pt(tmp_path, rng):
     ref = embs[2:7] / np.linalg.norm(embs[2:7], axis=1, keepdims=True)
     np.testing.assert_allclose(rows, ref, atol=1e-6)
     assert db.max_block_read == 5
+
+
+def test_read_rows_normalise_does_not_mutate_db(tmp_path):
+    """read_rows(normalised=True) on an unnormalised pt DB must not rewrite
+    the backing embeddings through an aliased view."""
+    from merizo_search_tpu.db import codecs
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    embs = rng.normal(size=(16, 8)).astype(np.float32) * 3.0
+    entries = [(f"d{i}", rng.normal(size=(4, 3)).astype(np.float32), "AAAA")
+               for i in range(16)]
+    db = codecs.FlatDB.from_arrays(embs.copy(), entries)
+    before = np.array(db.embeddings(), copy=True)
+    blk = db.read_rows(0, 16, normalised=True)
+    np.testing.assert_allclose(np.linalg.norm(blk, axis=1), 1.0, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(db.embeddings()), before)

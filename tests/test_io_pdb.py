@@ -113,3 +113,45 @@ def test_native_parser_matches_numpy(examples_dir):
         # absent chain -> zero records (read_ca raises the same error)
         c2, s2 = native_parse.parse_ca_bytes(raw, "9")
         assert len(c2) == 0 and s2 == ""
+
+
+def test_native_parser_truncated_records(tmp_path):
+    """Truncated ATOM CA records (shorter than the coord fields) must parse
+    identically in both paths: the numpy specification pads lines to 80
+    columns, so missing fields read as 0.0 / 'X' — not as a dropped row."""
+    from merizo_search_tpu.io import native_parse
+    from merizo_search_tpu.io.pdb import read_ca
+
+    if not native_parse.available():
+        import pytest
+
+        pytest.skip("native parser toolchain unavailable")
+
+    pdb = (
+        "ATOM      1  CA  ALA A   1      11.000  12.000  13.000\n"
+        "ATOM      2  CA  GLY A   2      21.000  22.000\n"   # z missing
+        "ATOM      3  CA  SER A   3\n"                        # no coords
+        "ATOM      4  CA\n"                                   # no chain: drop
+        "ATOM      5  CA  CYS A   5      51.000  52.000  53.000\n"
+    )
+    p = tmp_path / "trunc.pdb"
+    p.write_text(pdb)
+    with open(p, "rb") as fh:
+        raw = fh.read()
+    coords, seq = native_parse.parse_ca_bytes(raw, "A")
+    out = read_ca(str(p), "A")  # native path (when available)
+    assert seq == "AGSC"
+    np.testing.assert_array_equal(
+        coords,
+        np.asarray([[11, 12, 13], [21, 22, 0], [0, 0, 0], [51, 52, 53]],
+                   np.float32))
+    np.testing.assert_array_equal(out["coords"], coords)
+    # numpy specification path must agree
+    native_parse._lib = None
+    native_parse._build_failed = True  # force the numpy fallback
+    try:
+        ref = read_ca(str(p), "A")
+    finally:
+        native_parse._build_failed = False
+    np.testing.assert_array_equal(ref["coords"], coords)
+    assert ref["seq"] == seq

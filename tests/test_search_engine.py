@@ -441,3 +441,21 @@ def test_stream_ivf_empty_batch(tmp_path, rng):
                        ivf_nprobe=2)
     vals, idxs = eng.search(np.zeros((0, 128), np.float32), k=5)
     assert vals.shape == (0, 5) and idxs.shape == (0, 5)
+
+
+def test_int8_sidecar_mesh_resident_unaligned_shards(tmp_path, rng):
+    """Device-resident int8-sidecar DB on a mesh whose natural shard size is
+    not 128-aligned: chunk_eff must round up to the scale-block boundary or
+    the shard callbacks crash in read_rows_quant."""
+    prefix, embs, _ = _make_db(tmp_path, rng, n=200, kind="mmap")
+    codecs.write_quantized_sidecar(prefix, "int8")
+    db = codecs.FlatDB.open(prefix)
+    mesh = Mesh(np.array(jax.devices()[:2]), ("d",))
+    # chunk=56 would put device 1's shard start at row 112 without the fix
+    eng = SearchEngine(db, mesh=mesh, chunk=56, dtype=jnp.int8)
+    assert eng.mode == "device"
+    q = rng.normal(size=(4, 128)).astype(np.float32)
+    vals, idxs = eng.search(q, k=5)
+    bv, bi = _brute_force(q, embs, 5)
+    for qi in range(4):  # int8 noise: require top-5 overlap >= 4
+        assert len(set(int(x) for x in idxs[qi]) & set(bi[qi].tolist())) >= 4
