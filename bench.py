@@ -383,8 +383,13 @@ for _ in range(3):
 t = (time.perf_counter() - t0) / 3
 print(json.dumps({"qps": q / t * (n / (1 << 24))}))
 """
+    # PALLAS_AXON*/AXON_* must go too: the baked sitecustomize calls the
+    # axon register() at EVERY interpreter start when PALLAS_AXON_POOL_IPS
+    # is set (even under JAX_PLATFORMS=cpu), and a wedged tunnel blocks
+    # there — before any import of ours runs
     env = {k: v for k, v in os.environ.items()
-           if not (k.startswith(("TPU", "LIBTPU", "CLOUD_TPU", "PJRT"))
+           if not (k.startswith(("TPU", "LIBTPU", "CLOUD_TPU", "PJRT",
+                                 "PALLAS_AXON", "AXON_"))
                    or k in ("JAX_PLATFORMS", "JAX_PLATFORM_NAME", "XLA_FLAGS"))}
     env["JAX_PLATFORMS"] = "cpu"
     r = subprocess.run([sys.executable, "-c", code], env=env,
@@ -392,10 +397,31 @@ print(json.dumps({"qps": q / t * (n / (1 << 24))}))
     return json.loads(r.stdout.strip().splitlines()[-1])["qps"]
 
 
+def _tpu_reachable(timeout=420) -> bool:
+    """Probe device init in a SUBPROCESS with a hard deadline: a half-up
+    tunnel can make jax.devices() hang (or take ~20 min to error) in-process,
+    which would stall the whole bench past any driver timeout with no JSON
+    line emitted. A healthy axon init completes well under this deadline."""
+    import subprocess
+
+    code = ("import jax; d = jax.devices(); "
+            "print('ok' if d and d[0].platform != 'cpu' else 'cpu')")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=timeout)
+        return r.returncode == 0 and "ok" in r.stdout
+    except Exception as e:
+        print(f"# TPU probe failed: {type(e).__name__}", file=sys.stderr)
+        return False
+
+
 def main():
     _enable_compile_cache()
     configs = {}
+    tpu_ok = _tpu_reachable()
     try:
+        if not tpu_ok:
+            raise RuntimeError("TPU backend unreachable (probe timed out)")
         qps, recall = tpu_benchmarks(configs)
         metric = f"exact_search_qps_{DB_N//(1<<20)}M_db_k{K}"
     except Exception as e:
@@ -404,6 +430,8 @@ def main():
         qps = cpu_fallback_qps()
         metric = f"exact_search_qps_{DB_N//(1<<20)}M_db_k{K}_CPU_FALLBACK"
     try:
+        if not tpu_ok:
+            raise RuntimeError("TPU backend unreachable (probe timed out)")
         stream_benchmark(configs)
     except Exception as e:
         configs["ted_stream"] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
