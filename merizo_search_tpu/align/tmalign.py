@@ -29,6 +29,7 @@ its own heuristic initialisation on homologous pairs (see tests).
 
 from __future__ import annotations
 
+import logging
 from functools import partial
 
 import numpy as np
@@ -37,6 +38,8 @@ import jax.numpy as jnp
 
 from .kabsch import kabsch, transform
 from .seqid import seq_identity_count
+
+logger = logging.getLogger(__name__)
 
 GAP = -0.6
 NEG = -1e4
@@ -315,12 +318,27 @@ def tmalign_pairs(pairs: list[tuple], fast: bool = False) -> list[dict]:
             q, t = pairs[i]
             n_id = seq_identity_count(q["seq"][:b], t["seq"], ali[k])
             la = int(len_ali[k])
+            # structures longer than the largest bucket are aligned over
+            # their first `b` residues; renormalise the TM-scores by the
+            # TRUE chain lengths so truncation can only underestimate
+            # (the in-kernel score normalises by the truncated length,
+            # which would inflate qtm/ttm up to len/b times — the native
+            # backend aligns full-length and would reject such hits)
+            qv, tv = float(qtm[k]), float(ttm[k])
+            if len(q["coords"]) > b:
+                qv *= b / len(q["coords"])
+                logger.warning(
+                    "TM-align TPU backend truncated a %d-residue query to "
+                    "%d; qtm renormalised by the full length (conservative)",
+                    len(q["coords"]), b)
+            if len(t["coords"]) > b:
+                tv *= b / len(t["coords"])
             results[i] = {
                 "len_ali": la,
                 "rmsd": float(rmsd[k]),
                 "seq_id": (n_id / la) if la else 0.0,
-                "qtm": float(qtm[k]),
-                "ttm": float(ttm[k]),
+                "qtm": qv,
+                "ttm": tv,
             }
     return results
 

@@ -168,6 +168,10 @@ def run_dbsearch(inputs, db_name: str, topk: int = 1, fastmode: bool = False,
             results[qi][key] = hit
             counts[qi] += 1
         else:
+            # parity quirk: the reference keys insignificant hits by the
+            # GLOBAL exclusion counter (dbsearch.py:454 n_tm_exclude), so
+            # emb_rank in *_search_insignificant.tsv is a cross-query
+            # running index — kept verbatim for byte-identical TSVs
             all_results[qi][key if db.kind == "pt" else n_excl] = hit
             n_excl += 1
     if n_excl:

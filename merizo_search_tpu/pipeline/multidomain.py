@@ -147,9 +147,9 @@ def multi_domain_search(queries, search_results, db_name: str,
         return None
 
     if not inputs_from_easy_search:
-        chains = (pdb_chain.rstrip(",").split(",") if pdb_chain else ["A"] * nq)
-        if len(chains) == 1:
-            chains = chains * nq
+        from .dbsearch import _chains_for
+
+        chains = _chains_for(queries, pdb_chain)
         queries = [read_ca(q, chains[i]) for i, q in enumerate(queries)]
 
     logger.info("Start multi-domain search...")

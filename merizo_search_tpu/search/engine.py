@@ -176,6 +176,12 @@ class SearchEngine:
         self.chunk = min(chunk, 1 << 20)
         self._resident = None
         self._mesh_fns = {}
+        # lazy residency / sidecar builds can be hit concurrently by server
+        # handler threads; double-checked locking keeps the first request
+        # from racing a concurrent builder (e.g. two write_disk_ivf runs
+        # corrupting the same sidecar files)
+        import threading
+        self._init_lock = threading.Lock()
         # fused Pallas scan: the production path for bf16/int8 DBs resident in
         # TPU HBM (single chip or mesh-sharded — each chip scans its own
         # shard). "auto" falls back to the XLA scan off-TPU and for DBs too
@@ -208,6 +214,12 @@ class SearchEngine:
     def _load_resident(self):
         if self._resident is not None:
             return
+        with self._init_lock:
+            if self._resident is not None:
+                return
+            self._load_resident_locked()
+
+    def _load_resident_locked(self):
         t0 = time.time()
         if self.index == "ivf":
             # k-means trains on a sample and scores in chunks, so a memmap
@@ -539,6 +551,12 @@ class SearchEngine:
         """Build-or-open the cluster-contiguous disk sidecar (ivf.py)."""
         if self._sivf is not None:
             return
+        with self._init_lock:
+            if self._sivf is not None:
+                return
+            self._load_stream_ivf_locked()
+
+    def _load_stream_ivf_locked(self):
         from . import ivf as ivf_mod
 
         t0 = time.time()

@@ -168,6 +168,11 @@ def run_merizo(params, input_paths: list[str], pdb_chains: list[str] | None = No
                                      "plddt_filter") if k in kw}
     if pdb_chains is None:
         pdb_chains = ["A"] * len(input_paths)
+    elif len(pdb_chains) != len(input_paths):
+        # zip() would silently drop the unmatched tail of input_paths
+        raise ValueError(
+            "Number of specified chain IDs not equal to number of input "
+            f"PDB files ({len(pdb_chains)} vs {len(input_paths)}).")
     merizo_output = merizo_output or os.getcwd()
 
     paths, chains = [], []

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from ..models.merizo import network as mznet
 from ..models.merizo.features import generate_features
 from ..models.merizo import decoder as dec_mod
+from ..utils import bucketing
 from ..utils.bucketing import bucket_for
 from . import postprocess as pp
 
@@ -118,6 +119,11 @@ def _iterative_segmentation(params, f, dom_ids, conf_res, max_iterations: int,
                 ignore.add(d)
         if not candidates:
             break
+        # counter restarts at 1 every outer iteration — faithful to the
+        # reference (predict.py:78,101: `counter = 1` inside `while
+        # iterate`), including its quirk that ids minted in iteration i+1
+        # can collide with ids that survived iteration i (merging those
+        # domains). Kept verbatim: chopping parity requires the same ids.
         counter = 1
         for d in candidates:
             sel = np.nonzero(dom_ids == d)[0]
@@ -209,15 +215,25 @@ def segment_structures(params, paths: list[str], chains: list[str],
     if not paths:
         raise ValueError("no input structures to segment (check the input "
                          "path exists and matches .pdb/.cif files)")
+    max_res = bucketing.DEFAULT_BUCKETS[-1]
+
+    def _check_len(f, path):
+        if f["nres"] > max_res:
+            raise ValueError(
+                f"{path}: {f['nres']} residues exceeds the {max_res}-residue "
+                "segmentation limit (the attention pair tensors scale as "
+                "N^2; AFDB chains cap at 2700)")
+        return f
+
     if len(paths) == 1:
         # single input: parse errors propagate (a wrong --pdb_chain must be
         # a hard failure, not a silently empty result)
-        feats = [generate_features(paths[0], chains[0])]
+        feats = [_check_len(generate_features(paths[0], chains[0]), paths[0])]
     else:
         def featurise(args):
             path, chain = args
             try:
-                return generate_features(path, chain)
+                return _check_len(generate_features(path, chain), path)
             except (ValueError, KeyError, OSError) as e:
                 logger.warning("could not featurise %s: %s", path, e)
                 return None

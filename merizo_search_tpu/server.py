@@ -111,6 +111,10 @@ class SearchService:
 
     MAX_K = 1000
     MAX_QUERY_RES = 20000
+    # request bodies are buffered in RAM before parsing; full-backbone PDBs
+    # run ~80 B/atom * 4 atoms/residue, so 16 MB comfortably covers the
+    # residue cap while bounding what one client can make the server hold
+    MAX_BODY_BYTES = 16 * 1024 * 1024
 
     def __init__(self, db_name: str, mesh=None, precision: str = "bf16",
                  weights: str | None = None, merizo_weights: str | None = None,
@@ -147,10 +151,11 @@ class SearchService:
                     self.engine.mode)
 
     def _warmup(self):
-        """Compile the embed (+ scan, device mode) path at boot so the first
-        client query doesn't pay tens of seconds of jit latency. In stream
-        mode a real search would scan the whole on-disk DB, so only the
-        embedder warms."""
+        """Compile the embed (+ scan, device mode) and segmenter paths at
+        boot so the first client query doesn't pay tens of seconds of jit
+        latency (per length bucket, further buckets still compile on first
+        use). In stream mode a real search would scan the whole on-disk DB,
+        so only the models warm."""
         try:
             rng = np.random.default_rng(0)
             dummy = {"coords": np.cumsum(rng.normal(size=(64, 3)) * 1.8,
@@ -167,6 +172,16 @@ class SearchService:
                 from .pipeline.embed import embed_structures
 
                 embed_structures(self.fc_params, [dummy["coords"]])
+            # /easy-search additionally runs the Merizo segmenter forward —
+            # warm its smallest bucket too (writes a synthetic CA chain)
+            import tempfile as _tf
+
+            from .io.pdb import write_ca_pdb
+            from .segment.pipeline import segment_structure
+
+            with _tf.TemporaryDirectory() as td:
+                p = write_ca_pdb(td, dummy["coords"], dummy["seq"], "warmup")
+                segment_structure(self.mz_params, p, chain="A")
             logger.info("warm-up compile finished in %.1fs", time.time() - t0)
         except Exception as e:  # warm-up must never block serving
             logger.warning("warm-up failed (serving anyway): %s", e)
@@ -206,13 +221,30 @@ class SearchService:
             return d
         raise ValueError("request needs 'pdb' or 'coords'")
 
+    @staticmethod
+    def _opt_float(body: dict, name: str, default: float) -> float:
+        v = body.get(name, default)
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            raise ValueError(f"'{name}' must be a number")
+        if not 0.0 <= float(v) <= 1.0:
+            raise ValueError(f"'{name}' must be in [0, 1]")
+        return float(v)
+
+    @staticmethod
+    def _opt_bool(body: dict, name: str) -> bool:
+        v = body.get(name, False)
+        if not isinstance(v, bool):
+            # bool("false") is True — a string here silently flips the flag
+            raise ValueError(f"'{name}' must be a JSON boolean")
+        return v
+
     def _opts_key(self, body: dict) -> tuple:
         return (self._clamp_k(body),
-                float(body.get("mincos", 0.5)),
-                float(body.get("mintm", 0.5)),
-                float(body.get("mincov", 0.7)),
-                bool(body.get("fastmode", False)),
-                bool(body.get("skip_tmalign", False)))
+                self._opt_float(body, "mincos", 0.5),
+                self._opt_float(body, "mintm", 0.5),
+                self._opt_float(body, "mincov", 0.7),
+                self._opt_bool(body, "fastmode"),
+                self._opt_bool(body, "skip_tmalign"))
 
     def _run_search_batch(self, key: tuple, queries: list[dict]) -> list[dict]:
         from .pipeline.dbsearch import run_dbsearch
@@ -247,12 +279,15 @@ class SearchService:
 
         if "pdb" not in body:
             raise ValueError("easy-search needs 'pdb'")
+        if len(body["pdb"]) > 64 * self.MAX_QUERY_RES:
+            raise ValueError("PDB body too large")
+        k, mincos, mintm, mincov, fastmode, skip_tm = self._opts_key(body)
         with tempfile.NamedTemporaryFile("w", suffix=".pdb") as fh:
             fh.write(body["pdb"])
             fh.flush()
             f = segment_structure(
                 self.mz_params, fh.name, chain=body.get("chain", "A"),
-                iterate=bool(body.get("iterate", False)))
+                iterate=self._opt_bool(body, "iterate"))
         domains = domains_as_list(f, body.get("name", "query"))
         out = {"ndom": int(f["ndom"]),
                "domains": [{"name": d["name"], "dom_str": d["dom_str"],
@@ -263,12 +298,9 @@ class SearchService:
         if domains:
             results, _ = run_dbsearch(
                 domains, db_name=None, engine=self.engine,
-                params=self.fc_params, topk=self._clamp_k(body),
-                mincos=float(body.get("mincos", 0.5)),
-                mintm=float(body.get("mintm", 0.5)),
-                mincov=float(body.get("mincov", 0.7)),
-                fastmode=bool(body.get("fastmode", False)),
-                skip_tmalign=bool(body.get("skip_tmalign", False)),
+                params=self.fc_params, topk=k,
+                mincos=mincos, mintm=mintm, mincov=mincov,
+                fastmode=fastmode, skip_tmalign=skip_tm,
                 inputs_are_ca=True, tmalign_backend=self.tmalign_backend)
             out["hits_per_domain"] = [
                 [_hit_json(rank, h) for rank, h in r.items()] for r in results]
@@ -332,6 +364,12 @@ def make_handler(service: SearchService):
         def do_POST(self):
             try:
                 n = int(self.headers.get("Content-Length", 0))
+                if n > service.MAX_BODY_BYTES:
+                    # reject BEFORE buffering: rfile.read(n) would hold the
+                    # whole declared length in RAM ahead of any size check
+                    self._reply(413, {"error": "request body too large "
+                                      f"(> {service.MAX_BODY_BYTES} bytes)"})
+                    return
                 body = json.loads(self.rfile.read(n) or b"{}")
                 if self.path == "/search":
                     self._reply(200, service.search(body))

@@ -9,9 +9,13 @@ from __future__ import annotations
 
 import numpy as np
 
-# Powers-of-two-ish, MXU-friendly (multiples of 64), capped at the reference's
-# 2000-residue truncation (makedb.py:68-69) rounded up to 2048.
-DEFAULT_BUCKETS = (64, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048)
+# Powers-of-two-ish, MXU-friendly (multiples of 64). The embedder truncates
+# at the reference's 2000-residue cap (makedb.py:68-69); segmentation runs
+# full length, so buckets extend to 3072 — above AFDB's 2700-residue chain
+# cap — beyond which the N^2 pair tensors (c_z=32 -> ~1.2 GB at 3072) stop
+# fitting comfortably and the segmenter reports a clear per-structure error
+# instead of bucketing (see segment/pipeline.py).
+DEFAULT_BUCKETS = (64, 128, 192, 256, 384, 512, 768, 1024, 1536, 2048, 3072)
 
 
 def bucket_for(n: int, buckets=DEFAULT_BUCKETS) -> int:

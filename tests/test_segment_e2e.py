@@ -91,3 +91,36 @@ def test_single_input_bad_chain_raises(params, examples_dir):
     with pytest.raises(ValueError):
         segment_structures(params,
                            [os.path.join(examples_dir, "3w5h.pdb")], ["Z"])
+
+
+def test_oversize_structure_clear_error(tmp_path):
+    """Structures beyond the largest bucket must produce a clear error, not
+    a numpy broadcast crash (single input: hard failure; batch: skip)."""
+    import numpy as np
+    import pytest
+    from merizo_search_tpu.io.pdb import write_ca_pdb
+    from merizo_search_tpu.models.merizo.network import load_merizo_params
+    from merizo_search_tpu.segment.pipeline import segment_structures
+    from merizo_search_tpu.utils.bucketing import DEFAULT_BUCKETS
+
+    n = DEFAULT_BUCKETS[-1] + 10
+    rng = np.random.default_rng(0)
+    ca = np.cumsum(rng.normal(size=(n, 3)) * 1.8, axis=0).astype(np.float32)
+    # full backbone (N/CA/C/O) per residue: generate_features drops residues
+    # without a complete backbone
+    lines = []
+    serial = 1
+    for i in range(n):
+        for atom, off in (("N", -0.7), ("CA", 0.0), ("C", 0.7), ("O", 1.2)):
+            x, y, z = ca[i] + off
+            lines.append(
+                f"ATOM  {serial:5d} {atom:<4s} ALA A{i + 1:4d}    "
+                f"{x:8.3f}{y:8.3f}{z:8.3f}  1.00  0.00           "
+                f"{atom[0]}")
+            serial += 1
+    path = str(tmp_path / "huge.pdb")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\nTER\nEND\n")
+    params = load_merizo_params(None)
+    with pytest.raises(ValueError, match="segmentation limit"):
+        segment_structures(params, [path], ["A"])

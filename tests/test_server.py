@@ -185,3 +185,35 @@ def test_microbatcher_minority_key_not_starved_and_per_query_retry():
         raise AssertionError("bad item must raise")
     except ValueError:
         pass
+
+
+def test_strict_option_types(running_server):
+    base, coords = running_server
+    q = {"coords": coords[0].tolist(), "seq": "A" * len(coords[0])}
+    for bad in ({"skip_tmalign": "false"}, {"mincos": [0.5]},
+                {"mintm": "0.5"}, {"mincov": 2.0}):
+        req = urllib.request.Request(
+            base + "/search", data=json.dumps({**q, **bad}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req)
+            assert False, f"expected HTTP 400 for {bad}"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400, bad
+
+
+def test_oversized_body_rejected_before_read(running_server):
+    base, _ = running_server
+    req = urllib.request.Request(
+        base + "/search", data=b"{}",
+        headers={"Content-Type": "application/json",
+                 # lie about the length: must be rejected on the header,
+                 # not buffered
+                 "Content-Length": str(100 * 1024 * 1024)})
+    try:
+        urllib.request.urlopen(req)
+        assert False, "expected HTTP 413"
+    except urllib.error.HTTPError as e:
+        assert e.code == 413
+    except (ConnectionError, urllib.error.URLError):
+        pass  # server may cut the connection after replying; both are fine
