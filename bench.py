@@ -94,6 +94,16 @@ def tpu_benchmarks(configs):
                              -124, 124).astype(np.int8))
     t_i8 = bench(scan_fn, q8, db8, rs8, rep=5, inner=8)
 
+    # regime sweep: Q=64 is HBM-bandwidth-bound (t_mxu ~ 1.4 ms < t_hbm ~
+    # 5.2 ms for bf16) — the regime BASELINE's "% of speed-of-light
+    # flat-scan" language describes; Q=512 is the saturated-throughput
+    # serving point (MXU-bound, best qps).
+    t_bf64 = bench(scan_fn, q0[:64], db, rep=5, inner=8)
+    sol_bf64 = _sol_seconds(DB_N, 64, 2, BF16_FLOPS)
+    t_bf512 = bench(scan_fn, jnp.concatenate([q0, -q0]), db, rep=4, inner=6)
+    q8_512 = jnp.concatenate([q8, -q8])
+    t_i8512 = bench(scan_fn, q8_512, db8, rs8, rep=4, inner=6)
+
     sol_bf = _sol_seconds(DB_N, N_QUERIES, 2, BF16_FLOPS)
     sol_i8 = _sol_seconds(DB_N, N_QUERIES, 1, INT8_OPS)
     qps = N_QUERIES / t_bf
@@ -106,6 +116,22 @@ def tpu_benchmarks(configs):
         "int8_qps": round(N_QUERIES / t_i8, 0),
         "int8_sol_fraction": round(sol_i8 / t_i8, 3),
         "int8_vs_bf16_qps": round(t_bf / t_i8, 2),
+        "bandwidth_bound_q64": {
+            "bf16_ms_per_batch": round(t_bf64 * 1e3, 2),
+            "bf16_sol_fraction": round(sol_bf64 / t_bf64, 3),
+            "note": "Q=64 keeps the scan HBM-bound (t_mxu < t_hbm): the "
+                    "regime BASELINE's speed-of-light flat-scan target "
+                    "describes",
+        },
+        "saturated_q512": {
+            "bf16_qps": round(512 / t_bf512, 0),
+            "int8_qps": round(512 / t_i8512, 0),
+            "int8_vs_bf16_qps": round(t_bf512 / t_i8512, 2),
+            "bf16_sol_fraction": round(
+                _sol_seconds(DB_N, 512, 2, BF16_FLOPS) / t_bf512, 3),
+            "int8_sol_fraction": round(
+                _sol_seconds(DB_N, 512, 1, INT8_OPS) / t_i8512, 3),
+        },
         "sol_note": "SoL = max(HBM read, MXU flops) of the pure scan; the "
                     "exact k=100 cover pipeline also writes/reads 128 MB of "
                     "block maxima and regathers ~0.85 GB (bf16) of selected "
@@ -138,6 +164,10 @@ def tpu_benchmarks(configs):
     print(f"# 16M scan: bf16 {t_bf*1e3:.2f} ms/batch ({qps:.0f} q/s, "
           f"{sol_bf/t_bf*100:.0f}% SoL), int8 {t_i8*1e3:.2f} ms "
           f"({t_bf/t_i8:.2f}x), recall@100={rec:.4f}", file=sys.stderr)
+    print(f"# 16M scan regimes: Q=64 bf16 {t_bf64*1e3:.2f} ms "
+          f"({sol_bf64/t_bf64*100:.0f}% of HBM SoL); Q=512 "
+          f"{512/t_bf512:.0f} bf16 / {512/t_i8512:.0f} int8 q/s "
+          f"({t_bf512/t_i8512:.2f}x)", file=sys.stderr)
 
     # ---- config 1: CATH-4.3 scale (~500k rows) ----------------------------
     n_cath = 1 << 19
@@ -418,7 +448,20 @@ def _tpu_reachable(timeout=420) -> bool:
 def main():
     _enable_compile_cache()
     configs = {}
-    tpu_ok = _tpu_reachable()
+    # the tunnel occasionally wedges for a few minutes; one failed probe
+    # must not demote the round's artifact to the CPU fallback, so retry
+    # with a bounded backoff (~15 min worst case, still far under the
+    # driver's bench budget)
+    retries = int(os.environ.get("MERIZO_BENCH_PROBE_RETRIES", "3"))
+    for attempt in range(retries):
+        tpu_ok = _tpu_reachable()
+        if tpu_ok:
+            break
+        if attempt + 1 < retries:
+            wait = 120 * (attempt + 1)
+            print(f"# TPU probe attempt {attempt + 1}/{retries} failed; "
+                  f"retrying in {wait}s", file=sys.stderr)
+            time.sleep(wait)
     try:
         if not tpu_ok:
             raise RuntimeError("TPU backend unreachable (probe timed out)")

@@ -53,46 +53,43 @@ def _normalize_rows(x: np.ndarray) -> np.ndarray:
     return (x / np.maximum(n, 1e-12)).astype(x.dtype)
 
 
-class _StagePipe:
-    """Bounded producer->consumer handoff for the streaming scans.
+def _ordered_prefetch(items, fn, threads: int | None = None):
+    """Yield fn(item) for each item IN ORDER, prepared by a thread pool.
 
-    The producer thread must never outlive a failed search: if the consumer
-    raises (device OOM, bad input) while the producer is blocked in put(),
-    a plain Queue would pin the thread — and its staged multi-hundred-MB
-    buffers — for the life of the process. close() sets a stop flag and
-    drains, so a blocked producer always exits."""
+    The streaming scans' host staging (memmap read + quantise + pad) is
+    memcpy-dominated and releases the GIL, but a single producer thread
+    tops out at one core's copy bandwidth (~3 GB/s) — below NVMe/page-cache
+    rates. A small pool prepares the next few blocks concurrently while the
+    consumer scans the current one; the submit window (threads + 1) bounds
+    host RAM to a handful of blocks in flight.
 
-    def __init__(self, maxsize: int = 2):
-        import queue
-        import threading
+    Exceptions from fn propagate to the consumer at that item's turn. If the
+    consumer raises (device OOM, bad input) mid-iteration, the generator's
+    close cancels all queued work — running calls finish and are dropped, so
+    no thread or staged buffer outlives the search by more than one block.
+    """
+    import os as _os
+    from concurrent.futures import ThreadPoolExecutor
+    from collections import deque
 
-        self._q: "queue.Queue" = queue.Queue(maxsize=maxsize)
-        self._stop = threading.Event()
-
-    def put(self, item) -> bool:
-        """Producer side; returns False when the consumer has gone away."""
-        import queue
-
-        while not self._stop.is_set():
-            try:
-                self._q.put(item, timeout=0.5)
-                return True
-            except queue.Full:
-                continue
-        return False
-
-    def get(self):
-        return self._q.get()
-
-    def close(self):
-        import queue
-
-        self._stop.set()
-        try:
-            while True:
-                self._q.get_nowait()
-        except queue.Empty:
-            pass
+    if threads is None:
+        threads = max(1, int(_os.environ.get("MERIZO_STAGE_THREADS", "3")))
+    ex = ThreadPoolExecutor(max_workers=threads)
+    try:
+        futs: deque = deque()
+        it = iter(items)
+        for item in it:
+            futs.append(ex.submit(fn, item))
+            if len(futs) > threads:
+                break
+        while futs:
+            out = futs.popleft().result()
+            nxt = next(it, None)
+            if nxt is not None:
+                futs.append(ex.submit(fn, nxt))
+            yield out
+    finally:
+        ex.shutdown(wait=False, cancel_futures=True)
 
 
 def build_mesh_search(mesh: Mesh, k: int, chunk: int, mincov: float, use_lengths: bool,
@@ -644,100 +641,87 @@ class SearchEngine:
         partial_vals, partial_idxs = [], []
         staged_rows = 0
 
-        # staging (disk range reads + mincov fold) runs in a producer thread
-        # so host IO overlaps the async-dispatched device scan of the
-        # previous cluster group — same double-buffer as _stream_search
-        def produce():
-            try:
-                for g0 in range(0, len(union), cl_per_group):
-                    cls = union[g0:g0 + cl_per_group]
-                    nb = len(cls) * c_rows
-                    npad = ((nb + mult - 1) // mult) * mult
-                    blk = np.zeros((npad, self.db.dim), siv["emb"].dtype)
-                    tl = np.full(npad, np.inf, np.float32)
-                    rs = (np.ones(npad, np.float32)
-                          if siv["scales"] is not None else None)
-                    perm_sl = np.full(npad, -1, np.int64)
-                    at = 0
-                    for a, b in ivf_mod.cluster_runs(cls):  # coalesced reads
-                        lo, hi = a * c_rows, b * c_rows
-                        m = hi - lo
-                        blk[at:at + m] = siv["emb"][lo:hi]
-                        tl[at:at + m] = siv["lengths"][lo:hi]
-                        perm_sl[at:at + m] = siv["perm"][lo:hi]
-                        if rs is not None:
-                            rs[at:at + m] = siv["scales"][lo:hi]
-                        at += m
-                    # fold mincov into the lengths (+inf padding survives:
-                    # the scan then masks with tl <= qcap at mincov=1.0)
-                    tlm = np.where(np.isfinite(tl),
-                                   tl * np.float32(mincov if use_len else 0.0),
-                                   np.inf).astype(np.float32)
-                    if not quant and self.quantized:
-                        # int8 requested off-TPU: dequantised f32 fallback
-                        blk = blk.astype(np.float32) * rs[:, None]
-                    elif not fused and blk.dtype != np.float32:
-                        blk = blk.astype(np.float32)  # bf16 sidecar off-TPU
-                    if not pipe.put((nb, npad, blk, tlm, rs, perm_sl)):
-                        return  # consumer gone
-                pipe.put(None)
-            except BaseException as e:  # surface IO errors to the consumer
-                pipe.put(e)
+        # staging (disk range reads + mincov fold) runs on the prefetch pool
+        # so host IO overlaps both itself and the async-dispatched device
+        # scan of the previous cluster group — same scheme as _stream_search
+        def prepare(g0):
+            cls = union[g0:g0 + cl_per_group]
+            nb = len(cls) * c_rows
+            npad = ((nb + mult - 1) // mult) * mult
+            blk = np.zeros((npad, self.db.dim), siv["emb"].dtype)
+            tl = np.full(npad, np.inf, np.float32)
+            rs = (np.ones(npad, np.float32)
+                  if siv["scales"] is not None else None)
+            perm_sl = np.full(npad, -1, np.int64)
+            at = 0
+            for a, b in ivf_mod.cluster_runs(cls):  # coalesced reads
+                lo, hi = a * c_rows, b * c_rows
+                m = hi - lo
+                blk[at:at + m] = siv["emb"][lo:hi]
+                tl[at:at + m] = siv["lengths"][lo:hi]
+                perm_sl[at:at + m] = siv["perm"][lo:hi]
+                if rs is not None:
+                    rs[at:at + m] = siv["scales"][lo:hi]
+                at += m
+            # fold mincov into the lengths (+inf padding survives: the scan
+            # then masks with tl <= qcap at mincov=1.0). Scale only the
+            # finite entries — inf * 0.0 is NaN, and even a discarded
+            # np.where branch raises the invalid-value warning.
+            tlm = tl.copy()
+            fin = np.isfinite(tlm)
+            tlm[fin] *= np.float32(mincov if use_len else 0.0)
+            if not quant and self.quantized:
+                # int8 requested off-TPU: dequantised f32 fallback
+                blk = blk.astype(np.float32) * rs[:, None]
+            elif not fused and blk.dtype != np.float32:
+                blk = blk.astype(np.float32)  # bf16 sidecar off-TPU
+            return nb, npad, blk, tlm, rs, perm_sl
 
-        import threading
-
-        pipe = _StagePipe(maxsize=2)
-        threading.Thread(target=produce, daemon=True).start()
-
-        try:
-            for item in iter(pipe.get, None):
-                if isinstance(item, BaseException):
-                    raise item
-                nb, npad, blk, tlm, rs, perm_sl = item
-                kk = min(k, nb)
-                if self.mesh is not None:
-                    key = ("sivf", kk, fused, quant)
-                    if key not in self._mesh_fns:
-                        self._mesh_fns[key] = build_mesh_search(
-                            self.mesh, kk, chunk, 1.0, True, self.selection,
-                            self.recall_target, fused=fused, quantized=quant)
-                    dtl = jax.device_put(tlm, len_sh)
-                    if quant:
-                        vals, idxs = self._mesh_fns[key](
-                            dq8, jax.device_put(blk, row_sh), dtl,
-                            jnp.asarray([npad], jnp.int32), dqcap,
-                            jax.device_put(rs, len_sh))
-                        vals = vals * dqs[:, None]
-                    else:
-                        vals, idxs = self._mesh_fns[key](
-                            dq.astype(self.dtype) if fused else dq,
-                            jax.device_put(blk, row_sh), dtl,
-                            jnp.asarray([npad], jnp.int32), dqcap, dtl)
-                elif quant:
-                    vals, idxs = pallas_scan.fused_topk(
-                        dq8, jnp.asarray(blk), npad, kk,
-                        tlen=jnp.asarray(tlm), qlen=dqcap, mincov=1.0,
-                        use_len=True, scales=jnp.asarray(rs))
+        for item in _ordered_prefetch(range(0, len(union), cl_per_group),
+                                      prepare):
+            nb, npad, blk, tlm, rs, perm_sl = item
+            kk = min(k, nb)
+            if self.mesh is not None:
+                key = ("sivf", kk, fused, quant)
+                if key not in self._mesh_fns:
+                    self._mesh_fns[key] = build_mesh_search(
+                        self.mesh, kk, chunk, 1.0, True, self.selection,
+                        self.recall_target, fused=fused, quantized=quant)
+                dtl = jax.device_put(tlm, len_sh)
+                if quant:
+                    vals, idxs = self._mesh_fns[key](
+                        dq8, jax.device_put(blk, row_sh), dtl,
+                        jnp.asarray([npad], jnp.int32), dqcap,
+                        jax.device_put(rs, len_sh))
                     vals = vals * dqs[:, None]
-                elif fused:
-                    vals, idxs = pallas_scan.fused_topk(
-                        dq.astype(self.dtype), jnp.asarray(blk), npad, kk,
-                        tlen=jnp.asarray(tlm), qlen=dqcap, mincov=1.0,
-                        use_len=True)
                 else:
-                    vals, idxs = topk_ops.topk_scan(
-                        dq, jnp.asarray(blk), npad, kk, min(chunk, npad),
-                        tlen=jnp.asarray(tlm), qlen=dqcap, mincov=1.0,
-                        selection=self.selection,
-                        recall_target=self.recall_target)
-                # staged offsets -> original row ids (host, [Q,kk] small)
-                iv = np.asarray(idxs)
-                orig = np.where(iv >= 0, perm_sl[np.maximum(iv, 0)], -1)
-                partial_vals.append(np.asarray(vals, np.float32))
-                partial_idxs.append(orig.astype(np.int32))
-                staged_rows += nb
-        finally:
-            pipe.close()  # unblock the producer if we raised mid-stream
+                    vals, idxs = self._mesh_fns[key](
+                        dq.astype(self.dtype) if fused else dq,
+                        jax.device_put(blk, row_sh), dtl,
+                        jnp.asarray([npad], jnp.int32), dqcap, dtl)
+            elif quant:
+                vals, idxs = pallas_scan.fused_topk(
+                    dq8, jnp.asarray(blk), npad, kk,
+                    tlen=jnp.asarray(tlm), qlen=dqcap, mincov=1.0,
+                    use_len=True, scales=jnp.asarray(rs))
+                vals = vals * dqs[:, None]
+            elif fused:
+                vals, idxs = pallas_scan.fused_topk(
+                    dq.astype(self.dtype), jnp.asarray(blk), npad, kk,
+                    tlen=jnp.asarray(tlm), qlen=dqcap, mincov=1.0,
+                    use_len=True)
+            else:
+                vals, idxs = topk_ops.topk_scan(
+                    dq, jnp.asarray(blk), npad, kk, min(chunk, npad),
+                    tlen=jnp.asarray(tlm), qlen=dqcap, mincov=1.0,
+                    selection=self.selection,
+                    recall_target=self.recall_target)
+            # staged offsets -> original row ids (host, [Q,kk] small)
+            iv = np.asarray(idxs)
+            orig = np.where(iv >= 0, perm_sl[np.maximum(iv, 0)], -1)
+            partial_vals.append(np.asarray(vals, np.float32))
+            partial_idxs.append(orig.astype(np.int32))
+            staged_rows += nb
         kk = max(v.shape[1] for v in partial_vals)
         pv = np.stack([np.pad(v, ((0, 0), (0, kk - v.shape[1])),
                               constant_values=-np.inf)
@@ -760,8 +744,6 @@ class SearchEngine:
 
     # -- streaming ----------------------------------------------------------
     def _stream_search(self, q, k, qlen, mincov, use_len):
-        import threading
-
         t0 = time.time()
         dq = jnp.asarray(q)
         dqlen = jnp.asarray(qlen)
@@ -800,115 +782,107 @@ class SearchEngine:
             b = pallas_scan.BLOCK
             block = max(b, (block // b) * b)
 
-        def produce():
-            try:
-                for off in range(0, self.db.size, block):
+        def prepare(off):
+            rs = None
+            if use_i8_side:
+                blk, rs = self.db.read_rows_quant(off, off + block, "int8")
+                if not quant:  # off-TPU: dequantised f32 fallback
+                    blk = blk.astype(np.float32) * rs[:, None]
                     rs = None
-                    if use_i8_side:
-                        blk, rs = self.db.read_rows_quant(off, off + block,
-                                                          "int8")
-                        if not quant:  # off-TPU: dequantised f32 fallback
-                            blk = blk.astype(np.float32) * rs[:, None]
-                            rs = None
-                    elif use_bf_side:
-                        blk = self.db.read_rows_quant(off, off + block, "bf16")
-                    else:
-                        blk = self.db.read_rows(off, off + block)
-                    nb = blk.shape[0]
-                    npad = ((nb + mult - 1) // mult) * mult
-                    if npad != nb:
-                        blk = np.concatenate(
-                            [blk, np.zeros((npad - nb, blk.shape[1]), blk.dtype)])
-                        if rs is not None:
-                            # padding rows are zeros; give them the tail
-                            # block's scale so scales stay block-uniform
-                            tail = rs[-1] if nb % pallas_scan.BLOCK else 1.0
-                            rs = np.concatenate(
-                                [rs, np.full(npad - nb, tail, np.float32)])
-                    tl = np.full(npad, 1e9, np.float32) if use_len else None
-                    if use_len:
-                        tl[:nb] = lengths[off:off + nb]
-                    if self.mesh is not None and tl is None:
-                        tl = np.zeros(npad, np.float32)  # mesh fn takes tlen always
-                    if use_i8_side or use_bf_side:
-                        pass  # already in device format
-                    elif quant:
-                        blk, rs = pallas_scan.quantize_blocks(blk)
-                    elif self.quantized:
-                        pass  # int8 requested off-TPU: f32 fallback scan
-                    elif self.dtype != jnp.float32:
-                        blk = blk.astype(np.dtype("bfloat16"))
-                    if not pipe.put((off, nb, blk, tl, rs)):
-                        return  # consumer gone
-                pipe.put(None)
-            except BaseException as e:  # surface IO errors to the consumer
-                pipe.put(e)
-
-        pipe = _StagePipe(maxsize=2)
-        threading.Thread(target=produce, daemon=True).start()
+            elif use_bf_side:
+                blk = self.db.read_rows_quant(off, off + block, "bf16")
+            else:
+                blk = self.db.read_rows(off, off + block)
+            nb = blk.shape[0]
+            npad = ((nb + mult - 1) // mult) * mult
+            if npad != nb:
+                blk = np.concatenate(
+                    [blk, np.zeros((npad - nb, blk.shape[1]), blk.dtype)])
+                if rs is not None:
+                    # padding rows are zeros; give them the tail
+                    # block's scale so scales stay block-uniform
+                    tail = rs[-1] if nb % pallas_scan.BLOCK else 1.0
+                    rs = np.concatenate(
+                        [rs, np.full(npad - nb, tail, np.float32)])
+            tl = np.full(npad, 1e9, np.float32) if use_len else None
+            if use_len:
+                tl[:nb] = lengths[off:off + nb]
+            if self.mesh is not None and tl is None:
+                tl = np.zeros(npad, np.float32)  # mesh fn takes tlen always
+            if use_i8_side or use_bf_side:
+                pass  # already in device format
+            elif quant:
+                blk, rs = pallas_scan.quantize_blocks(blk)
+            elif self.quantized:
+                pass  # int8 requested off-TPU: f32 fallback scan
+            elif self.dtype != jnp.float32:
+                blk = blk.astype(np.dtype("bfloat16"))
+            if blk.base is not None:
+                # sidecar/normalised-mmap reads return memmap VIEWS — the
+                # disk page-in would otherwise happen lazily inside the
+                # consumer's device_put, defeating the staging overlap
+                blk = np.array(blk)
+            return off, nb, blk, tl, rs
 
         seen = 0
-        try:
-            while True:
-                item = pipe.get()
-                if item is None:
-                    break
-                if isinstance(item, BaseException):
-                    raise item
-                off, nb, blk, tl, rs = item
-                if self.mesh is not None:
-                    kk = min(k, nb)
-                    key = ("stream", kk, use_len, fused, quant, float(mincov))
-                    if key not in self._mesh_fns:
-                        self._mesh_fns[key] = build_mesh_search(
-                            self.mesh, kk, chunk, float(mincov), use_len,
-                            self.selection, self.recall_target, fused=fused,
-                            quantized=quant)
-                    dtl = jax.device_put(tl, len_sh)
-                    if quant:
-                        # int8 superblock: rows + per-row scales sharded together;
-                        # queries quantised once, per-query scale applied after
-                        if dq8 is None:
-                            q8_np, qs_np = pallas_scan.quantize_rows(np.asarray(q))
-                            dq8, dqs = jnp.asarray(q8_np), jnp.asarray(qs_np)
-                        vals, idxs = self._mesh_fns[key](
-                            dq8, jax.device_put(blk, row_sh), dtl,
-                            jnp.asarray([nb], jnp.int32), dqlen,
-                            jax.device_put(rs, len_sh))
-                        vals = vals * dqs[:, None]
-                    else:
-                        vals, idxs = self._mesh_fns[key](
-                            dq_cast, jax.device_put(blk, row_sh), dtl,
-                            jnp.asarray([nb], jnp.int32), dqlen,
-                            dtl)  # dummy scale shard on the non-quantised path
-                elif quant:
+        # multi-threaded ordered staging: host reads of the next blocks
+        # overlap both each other and the (async-dispatched) device scan of
+        # the current one — the reference's faiss block loop is fully serial
+        # (dbsearch.py:232-248). Quantised sidecars cut the read volume
+        # 4x/2x; the pool lifts the single-core memcpy ceiling on top.
+        for item in _ordered_prefetch(range(0, self.db.size, block), prepare):
+            off, nb, blk, tl, rs = item
+            if self.mesh is not None:
+                kk = min(k, nb)
+                key = ("stream", kk, use_len, fused, quant, float(mincov))
+                if key not in self._mesh_fns:
+                    self._mesh_fns[key] = build_mesh_search(
+                        self.mesh, kk, chunk, float(mincov), use_len,
+                        self.selection, self.recall_target, fused=fused,
+                        quantized=quant)
+                dtl = jax.device_put(tl, len_sh)
+                if quant:
+                    # int8 superblock: rows + per-row scales sharded together;
+                    # queries quantised once, per-query scale applied after
                     if dq8 is None:
                         q8_np, qs_np = pallas_scan.quantize_rows(np.asarray(q))
                         dq8, dqs = jnp.asarray(q8_np), jnp.asarray(qs_np)
-                    vals, idxs = pallas_scan.fused_topk(
-                        dq8, jnp.asarray(blk), nb, min(k, nb),
-                        tlen=jnp.asarray(tl) if use_len else None,
-                        qlen=dqlen if use_len else None, mincov=float(mincov),
-                        use_len=use_len, scales=jnp.asarray(rs))
+                    vals, idxs = self._mesh_fns[key](
+                        dq8, jax.device_put(blk, row_sh), dtl,
+                        jnp.asarray([nb], jnp.int32), dqlen,
+                        jax.device_put(rs, len_sh))
                     vals = vals * dqs[:, None]
-                elif fused:
-                    vals, idxs = pallas_scan.fused_topk(
-                        dq.astype(self.dtype), jnp.asarray(blk), nb, min(k, nb),
-                        tlen=jnp.asarray(tl) if use_len else None,
-                        qlen=dqlen if use_len else None, mincov=float(mincov),
-                        use_len=use_len)
                 else:
-                    vals, idxs = topk_ops.topk_scan(
-                        dq, jnp.asarray(blk), nb, min(k, nb), chunk,
-                        tlen=jnp.asarray(tl) if use_len else None,
-                        qlen=dqlen if use_len else None, mincov=float(mincov),
-                        selection=self.selection, recall_target=self.recall_target)
-                partial_vals.append(vals)
-                partial_idxs.append(jnp.where(idxs >= 0, idxs + off, idxs))
-                seen += nb
-                logger.info("%d DB elements, %.3f s", seen, time.time() - t0)
-        finally:
-            pipe.close()  # unblock the producer if we raised mid-stream
+                    vals, idxs = self._mesh_fns[key](
+                        dq_cast, jax.device_put(blk, row_sh), dtl,
+                        jnp.asarray([nb], jnp.int32), dqlen,
+                        dtl)  # dummy scale shard on the non-quantised path
+            elif quant:
+                if dq8 is None:
+                    q8_np, qs_np = pallas_scan.quantize_rows(np.asarray(q))
+                    dq8, dqs = jnp.asarray(q8_np), jnp.asarray(qs_np)
+                vals, idxs = pallas_scan.fused_topk(
+                    dq8, jnp.asarray(blk), nb, min(k, nb),
+                    tlen=jnp.asarray(tl) if use_len else None,
+                    qlen=dqlen if use_len else None, mincov=float(mincov),
+                    use_len=use_len, scales=jnp.asarray(rs))
+                vals = vals * dqs[:, None]
+            elif fused:
+                vals, idxs = pallas_scan.fused_topk(
+                    dq.astype(self.dtype), jnp.asarray(blk), nb, min(k, nb),
+                    tlen=jnp.asarray(tl) if use_len else None,
+                    qlen=dqlen if use_len else None, mincov=float(mincov),
+                    use_len=use_len)
+            else:
+                vals, idxs = topk_ops.topk_scan(
+                    dq, jnp.asarray(blk), nb, min(k, nb), chunk,
+                    tlen=jnp.asarray(tl) if use_len else None,
+                    qlen=dqlen if use_len else None, mincov=float(mincov),
+                    selection=self.selection, recall_target=self.recall_target)
+            partial_vals.append(vals)
+            partial_idxs.append(jnp.where(idxs >= 0, idxs + off, idxs))
+            seen += nb
+            logger.info("%d DB elements, %.3f s", seen, time.time() - t0)
         kk = max(v.shape[1] for v in partial_vals)
         pv = jnp.stack([jnp.pad(v, ((0, 0), (0, kk - v.shape[1])),
                                 constant_values=-jnp.inf) for v in partial_vals])

@@ -459,3 +459,51 @@ def test_int8_sidecar_mesh_resident_unaligned_shards(tmp_path, rng):
     bv, bi = _brute_force(q, embs, 5)
     for qi in range(4):  # int8 noise: require top-5 overlap >= 4
         assert len(set(int(x) for x in idxs[qi]) & set(bi[qi].tolist())) >= 4
+
+
+def test_ordered_prefetch_order_and_exceptions():
+    """The staging pool must preserve item order, propagate a worker
+    exception at the failing item's turn, and cancel queued work when the
+    consumer stops early."""
+    import threading
+    import time as _time
+
+    from merizo_search_tpu.search.engine import _ordered_prefetch
+
+    # order despite deliberately inverted completion times
+    def slow_first(i):
+        _time.sleep(0.02 if i == 0 else 0.0)
+        return i * 10
+
+    assert list(_ordered_prefetch(range(8), slow_first, threads=4)) == \
+        [i * 10 for i in range(8)]
+
+    # worker exception surfaces at its turn, after earlier items
+    def boom(i):
+        if i == 2:
+            raise ValueError("staged read failed")
+        return i
+
+    got = []
+    try:
+        for v in _ordered_prefetch(range(6), boom, threads=3):
+            got.append(v)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+    assert got == [0, 1]
+
+    # early consumer exit cancels queued work: with 1 thread and a window
+    # of 2, breaking after the first item must leave later items unstarted
+    started = []
+    lock = threading.Lock()
+
+    def track(i):
+        with lock:
+            started.append(i)
+        return i
+
+    for v in _ordered_prefetch(range(100), track, threads=1):
+        break
+    _time.sleep(0.05)  # let any stragglers run
+    assert len(started) <= 4  # window (2) + at most a couple in flight
