@@ -44,7 +44,7 @@ def _lib_path() -> str:
         tag = int(os.path.getmtime(_SRC))
     except OSError:
         tag = 0
-    return os.path.join(cache, f"libtmalign-{tag}.so")
+    return os.path.join(cache, f"libtmalign-{tag}-mn.so")  # -mn: -march=native build flavor
 
 
 def _build() -> str | None:
@@ -53,9 +53,17 @@ def _build() -> str | None:
         if os.path.exists(lib):
             return lib
         os.makedirs(os.path.dirname(lib), exist_ok=True)
-        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-               "-o", lib, _SRC, "-lpthread"]
-        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                "-o", lib, _SRC, "-lpthread"]
+        # the library is JIT-built on the host that runs it, so tuning for
+        # that host's ISA is safe (+~10% on the DP loops with AVX-512);
+        # retry generic if the toolchain rejects the flags
+        try:
+            subprocess.run(base[:2] + ["-march=native", "-funroll-loops"]
+                           + base[2:], check=True, capture_output=True,
+                           timeout=300)
+        except subprocess.SubprocessError:
+            subprocess.run(base, check=True, capture_output=True, timeout=300)
         return lib
     except (subprocess.SubprocessError, OSError) as e:
         err = getattr(e, "stderr", b"") or b""

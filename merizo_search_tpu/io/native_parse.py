@@ -33,7 +33,7 @@ def _lib_path() -> str:
         tag = int(os.path.getmtime(_SRC))
     except OSError:
         tag = 0
-    return os.path.join(cache, f"libpdbparse-{tag}.so")
+    return os.path.join(cache, f"libpdbparse-{tag}-mn.so")  # -mn: -march=native build flavor
 
 
 def _build() -> str | None:
@@ -42,8 +42,16 @@ def _build() -> str | None:
         if os.path.exists(lib):
             return lib
         os.makedirs(os.path.dirname(lib), exist_ok=True)
-        cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-o", lib, _SRC]
-        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                "-o", lib, _SRC]
+        # JIT-built on the running host: host-ISA tuning is safe; fall back
+        # to a generic build if the toolchain rejects the flags
+        try:
+            subprocess.run(base[:2] + ["-march=native", "-funroll-loops"]
+                           + base[2:], check=True, capture_output=True,
+                           timeout=300)
+        except subprocess.SubprocessError:
+            subprocess.run(base, check=True, capture_output=True, timeout=300)
         return lib
     except (subprocess.SubprocessError, OSError) as e:
         err = getattr(e, "stderr", b"") or b""
