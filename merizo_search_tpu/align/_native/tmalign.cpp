@@ -116,9 +116,13 @@ static bool kabsch(const std::vector<V3>& x, const std::vector<V3>& y,
     }
   double eval[3], evec[3][3];
   jacobi3(rtr, eval, evec);
-  // sort eigenpairs descending
+  // sort eigenpairs descending — 3-element sort network; kabsch runs ~1M
+  // times per batch and a std::sort call here profiled at half the total
+  // alignment time (call + introsort overhead for 3 elements)
   int order[3] = {0, 1, 2};
-  std::sort(order, order + 3, [&](int a, int b) { return eval[a] > eval[b]; });
+  if (eval[order[0]] < eval[order[1]]) std::swap(order[0], order[1]);
+  if (eval[order[1]] < eval[order[2]]) std::swap(order[1], order[2]);
+  if (eval[order[0]] < eval[order[1]]) std::swap(order[0], order[1]);
   double a1[3] = {evec[0][order[0]], evec[1][order[0]], evec[2][order[0]]};
   double a2[3] = {evec[0][order[1]], evec[1][order[1]], evec[2][order[1]]};
   // a3 = a1 x a2 (right-handed basis)
