@@ -212,14 +212,17 @@ static double tmscore_search(const std::vector<V3>& x, const std::vector<V3>& y,
   }
   if (seeds.empty()) seeds.push_back({0, na});
 
+  std::vector<int> prev_sel;
   for (auto& sd : seeds) {
     std::vector<int> sel(pairs.begin() + sd.first,
                          pairs.begin() + sd.first + sd.second);
     Rot r;
+    prev_sel.clear();
     for (int it = 0; it < n_iter; ++it) {
       if (!kabsch(x, ysel, sel, &r)) break;
       double sc = tm_under(x, y, ali, r, d0, lnorm);
       if (sc > best) { best = sc; *best_rot = r; }
+      prev_sel.swap(sel);
       // re-select pairs within d0_search (+1, +2.5 widening if too few)
       for (double cut : {d0s, d0s + 1.0, d0s + 2.5}) {
         sel.clear();
@@ -229,6 +232,9 @@ static double tmscore_search(const std::vector<V3>& x, const std::vector<V3>& y,
         if ((int)sel.size() >= 4) break;
       }
       if ((int)sel.size() < 4) { sel.assign(pairs.begin(), pairs.end()); }
+      // fixpoint: the next kabsch input equals this one's, so every later
+      // iteration would recompute the identical transform/score — exact break
+      if (sel == prev_sel) break;
     }
   }
   return best;
