@@ -213,6 +213,8 @@ static double tmscore_search(const std::vector<V3>& x, const std::vector<V3>& y,
   if (seeds.empty()) seeds.push_back({0, na});
 
   std::vector<int> prev_sel;
+  std::vector<double> d2s(pairs.size());  // per-pair d2 under the current r
+  double d02 = d0 * d0;
   for (auto& sd : seeds) {
     std::vector<int> sel(pairs.begin() + sd.first,
                          pairs.begin() + sd.first + sd.second);
@@ -220,15 +222,25 @@ static double tmscore_search(const std::vector<V3>& x, const std::vector<V3>& y,
     prev_sel.clear();
     for (int it = 0; it < n_iter; ++it) {
       if (!kabsch(x, ysel, sel, &r)) break;
-      double sc = tm_under(x, y, ali, r, d0, lnorm);
+      // one pass computes the TM score AND caches each pair's distance, so
+      // the reselection below is threshold scans over the cache instead of
+      // a second apply+dist2 sweep (tm_under semantics: sum over ali>=0,
+      // i.e. exactly `pairs`, against ysel)
+      double sc = 0;
+      for (size_t p = 0; p < pairs.size(); ++p) {
+        double d2 = dist2(apply(r, x[pairs[p]]), ysel[pairs[p]]);
+        d2s[p] = d2;
+        sc += 1.0 / (1.0 + d2 / d02);
+      }
+      sc /= lnorm;
       if (sc > best) { best = sc; *best_rot = r; }
       prev_sel.swap(sel);
       // re-select pairs within d0_search (+1, +2.5 widening if too few)
       for (double cut : {d0s, d0s + 1.0, d0s + 2.5}) {
         sel.clear();
         double c2 = cut * cut;
-        for (int i : pairs)
-          if (dist2(apply(r, x[i]), ysel[i]) < c2) sel.push_back(i);
+        for (size_t p = 0; p < pairs.size(); ++p)
+          if (d2s[p] < c2) sel.push_back(pairs[p]);
         if ((int)sel.size() >= 4) break;
       }
       if ((int)sel.size() < 4) { sel.assign(pairs.begin(), pairs.end()); }
