@@ -255,25 +255,36 @@ static double tmscore_search(const std::vector<V3>& x, const std::vector<V3>& y,
 // ---------------------------------------------------------------------------
 // Needleman-Wunsch with free end gaps (semi-global), gap-open only.
 
-static void nw_align(const std::vector<std::vector<double>>& S, int nx, int ny,
+// S is row-major [nx, ny] flat (contiguous scoring keeps the DP inner loop
+// on one stream; the nested-vector layout profiled ~20% of alignment time
+// in pointer chasing and per-row allocations).
+static void nw_align(const double* S, int nx, int ny,
                      double gap, std::vector<int>* ali) {
-  std::vector<std::vector<double>> H(nx + 1, std::vector<double>(ny + 1, 0.0));
-  std::vector<std::vector<signed char>> P(nx + 1, std::vector<signed char>(ny + 1, 3));
-  for (int i = 1; i <= nx; ++i)
+  // H needs only the previous row (rolling pair); P keeps the full
+  // traceback, flat. Values identical to the full-matrix formulation.
+  std::vector<double> hprev(ny + 1, 0.0), hcur(ny + 1, 0.0);
+  std::vector<signed char> P((size_t)(nx + 1) * (ny + 1), 3);
+  for (int i = 1; i <= nx; ++i) {
+    hcur[0] = 0.0;
+    signed char* prow = &P[(size_t)i * (ny + 1)];
+    const double* srow = S + (size_t)(i - 1) * ny;
     for (int j = 1; j <= ny; ++j) {
-      double diag = H[i - 1][j - 1] + S[i - 1][j - 1];
-      double up = H[i - 1][j] + ((j == ny) ? 0.0 : gap);
-      double left = H[i][j - 1] + ((i == nx) ? 0.0 : gap);
+      double diag = hprev[j - 1] + srow[j - 1];
+      double up = hprev[j] + ((j == ny) ? 0.0 : gap);
+      double left = hcur[j - 1] + ((i == nx) ? 0.0 : gap);
       double b = diag; signed char p = 0;
       if (up > b) { b = up; p = 1; }
       if (left > b) { b = left; p = 2; }
-      H[i][j] = b; P[i][j] = p;
+      hcur[j] = b; prow[j] = p;
     }
+    hprev.swap(hcur);
+  }
   ali->assign(nx, -1);
   int i = nx, j = ny;
   while (i > 0 && j > 0) {
-    if (P[i][j] == 0) { (*ali)[i - 1] = j - 1; --i; --j; }
-    else if (P[i][j] == 1) --i;
+    signed char p = P[(size_t)i * (ny + 1) + j];
+    if (p == 0) { (*ali)[i - 1] = j - 1; --i; --j; }
+    else if (p == 1) --i;
     else --j;
   }
 }
@@ -346,10 +357,10 @@ static void init_ss(const std::vector<V3>& x, const std::vector<V3>& y,
   assign_ss(x, &sx);
   assign_ss(y, &sy);
   int nx = (int)x.size(), ny = (int)y.size();
-  std::vector<std::vector<double>> S(nx, std::vector<double>(ny));
+  std::vector<double> S((size_t)nx * ny);
   for (int i = 0; i < nx; ++i)
-    for (int j = 0; j < ny; ++j) S[i][j] = (sx[i] == sy[j]) ? 1.0 : 0.0;
-  nw_align(S, nx, ny, -1.0, ali);
+    for (int j = 0; j < ny; ++j) S[(size_t)i * ny + j] = (sx[i] == sy[j]) ? 1.0 : 0.0;
+  nw_align(S.data(), nx, ny, -1.0, ali);
 }
 
 // 3) local fragment superposition: superpose best gapless fragment pair,
@@ -384,13 +395,14 @@ static void init_fragment(const std::vector<V3>& x, const std::vector<V3>& y,
       if (sc > best) { best = sc; bestr = r; }
     }
   if (best < 0) { ali->assign(nx, -1); return; }
-  std::vector<std::vector<double>> S(nx, std::vector<double>(ny));
+  std::vector<double> S((size_t)nx * ny);
   double d02 = d0 * d0;
   for (int i = 0; i < nx; ++i) {
     V3 xt = apply(bestr, x[i]);
-    for (int j = 0; j < ny; ++j) S[i][j] = 1.0 / (1.0 + dist2(xt, y[j]) / d02);
+    double* srow = &S[(size_t)i * ny];
+    for (int j = 0; j < ny; ++j) srow[j] = 1.0 / (1.0 + dist2(xt, y[j]) / d02);
   }
-  nw_align(S, nx, ny, -0.6, ali);
+  nw_align(S.data(), nx, ny, -0.6, ali);
 }
 
 // ---------------------------------------------------------------------------
@@ -402,7 +414,7 @@ static double dp_iterate(const std::vector<V3>& x, const std::vector<V3>& y,
   int nx = (int)x.size(), ny = (int)y.size();
   double best = -1.0;
   double d02 = d0 * d0;
-  std::vector<std::vector<double>> S(nx, std::vector<double>(ny));
+  std::vector<double> S((size_t)nx * ny);
   const double gaps[2] = {-0.6, 0.0};
   for (int g = 0; g < 2; ++g) {
     std::vector<int> cur = ali;
@@ -413,10 +425,11 @@ static double dp_iterate(const std::vector<V3>& x, const std::vector<V3>& y,
       if (sc > best) { best = sc; *best_ali = cur; }
       for (int i = 0; i < nx; ++i) {
         V3 xt = apply(r, x[i]);
-        for (int j = 0; j < ny; ++j) S[i][j] = 1.0 / (1.0 + dist2(xt, y[j]) / d02);
+        double* srow = &S[(size_t)i * ny];
+        for (int j = 0; j < ny; ++j) srow[j] = 1.0 / (1.0 + dist2(xt, y[j]) / d02);
       }
       prev = cur;
-      nw_align(S, nx, ny, gaps[g], &cur);
+      nw_align(S.data(), nx, ny, gaps[g], &cur);
       if (cur == prev) break;
     }
     Rot r;
