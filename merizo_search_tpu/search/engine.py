@@ -882,6 +882,14 @@ class SearchEngine:
             partial_vals.append(vals)
             partial_idxs.append(jnp.where(idxs >= 0, idxs + off, idxs))
             seen += nb
+            if len(partial_vals) >= 3:
+                # backpressure: dispatch is async and results stay on device,
+                # so without a sync a host-staging pool that outpaces the
+                # device (small page-cache-hot DBs) would queue arbitrarily
+                # many multi-GB superblock buffers in HBM. Blocking on the
+                # scan TWO blocks back caps in-flight device inputs at ~3
+                # superblocks while leaving the current dispatch overlapped.
+                jax.block_until_ready(partial_vals[-3])
             logger.info("%d DB elements, %.3f s", seen, time.time() - t0)
         kk = max(v.shape[1] for v in partial_vals)
         pv = jnp.stack([jnp.pad(v, ((0, 0), (0, kk - v.shape[1])),
