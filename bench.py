@@ -431,8 +431,33 @@ def _tpu_reachable(timeout=420) -> bool:
     """Probe device init in a SUBPROCESS with a hard deadline: a half-up
     tunnel can make jax.devices() hang (or take ~20 min to error) in-process,
     which would stall the whole bench past any driver timeout with no JSON
-    line emitted. A healthy axon init completes well under this deadline."""
+    line emitted. A healthy axon init completes well under this deadline.
+
+    Fast path: when the pool relay is loopback (this deployment) and its
+    session ports actively REFUSE connections, the relay process itself is
+    down and the expensive jax probe cannot succeed — skip it so each retry
+    costs seconds, not the full deadline. Any other TCP outcome (open,
+    filtered, different port layout) falls through to the real probe."""
     import subprocess
+
+    if os.environ.get("PALLAS_AXON_POOL_IPS") == "127.0.0.1":
+        import socket
+        refused = 0
+        for port in (8082, 8083):
+            s = socket.socket()
+            s.settimeout(3)
+            try:
+                s.connect(("127.0.0.1", port))
+            except ConnectionRefusedError:
+                refused += 1
+            except OSError:
+                pass
+            finally:
+                s.close()
+        if refused == 2:
+            print("# TPU relay TCP-down (loopback ports refused); "
+                  "skipping device probe", file=sys.stderr)
+            return False
 
     code = ("import jax; d = jax.devices(); "
             "print('ok' if d and d[0].platform != 'cpu' else 'cpu')")
