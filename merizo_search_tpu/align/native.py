@@ -6,10 +6,10 @@ utils.py:75-109). Here the aligner is an in-process shared library with a
 std::thread batch entry point: no fork+exec, no file I/O, one call per
 rescoring batch.
 
-The library is compiled on first use with g++ (-O3) into the user cache
-($MERIZO_TPU_CACHE or ~/.cache/merizo_tpu); `available()` reports whether a
-working build exists so callers can fall back to the batched TPU aligner
-(align/tmalign.py).
+The library is compiled on first use via utils.nativebuild (host-ISA-tuned
+g++ build, ISA-keyed cache under $MERIZO_TPU_CACHE or ~/.cache/merizo_tpu,
+atomic publish); `available()` reports whether a working build exists so
+callers can fall back to the batched TPU aligner (align/tmalign.py).
 """
 
 from __future__ import annotations
@@ -17,7 +17,6 @@ from __future__ import annotations
 import ctypes
 import logging
 import os
-import subprocess
 import threading
 
 import numpy as np
@@ -34,54 +33,17 @@ _lib = None
 _build_failed = False
 
 
-def _lib_path() -> str:
-    """Build target in a writable cache dir (site-packages may be read-only),
-    keyed by source mtime so edits force a rebuild."""
-    cache = os.environ.get(
-        "MERIZO_TPU_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "merizo_tpu"))
-    try:
-        tag = int(os.path.getmtime(_SRC))
-    except OSError:
-        tag = 0
-    return os.path.join(cache, f"libtmalign-{tag}-mn.so")  # -mn: -march=native build flavor
-
-
-def _build() -> str | None:
-    try:
-        lib = _lib_path()
-        if os.path.exists(lib):
-            return lib
-        os.makedirs(os.path.dirname(lib), exist_ok=True)
-        base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                "-o", lib, _SRC, "-lpthread"]
-        # the library is JIT-built on the host that runs it, so tuning for
-        # that host's ISA is safe (+~10% on the DP loops with AVX-512);
-        # retry generic if the toolchain rejects the flags
-        try:
-            subprocess.run(base[:2] + ["-march=native", "-funroll-loops"]
-                           + base[2:], check=True, capture_output=True,
-                           timeout=300)
-        except subprocess.SubprocessError:
-            subprocess.run(base, check=True, capture_output=True, timeout=300)
-        return lib
-    except (subprocess.SubprocessError, OSError) as e:
-        err = getattr(e, "stderr", b"") or b""
-        logger.warning("native tmalign build failed: %s %s", e,
-                       err.decode()[:500] if isinstance(err, bytes) else err)
-        return None
-
-
 def _load():
     global _lib, _build_failed
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        path = _build()
-        if path is None:
+        from ..utils.nativebuild import load_native_lib
+
+        lib = load_native_lib(_SRC, "tmalign")
+        if lib is None:
             _build_failed = True
             return None
-        lib = ctypes.CDLL(path)
         lib.tmalign_pair.restype = ctypes.c_int
         lib.tmalign_pair.argtypes = [
             ctypes.POINTER(ctypes.c_float), ctypes.c_int,

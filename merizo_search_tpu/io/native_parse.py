@@ -1,7 +1,7 @@
 """ctypes loader for the native CA parser (io/_native/pdbparse.cpp).
 
-Built on demand with g++ into the writable cache dir (same pattern as
-align/native.py); read_ca transparently falls back to the numpy parser when
+Built on demand via utils.nativebuild (host-ISA-tuned, ISA-keyed cache,
+atomic publish); read_ca transparently falls back to the numpy parser when
 the toolchain is unavailable. The C call releases the GIL, so createdb's
 parser thread pool scales across cores.
 """
@@ -11,7 +11,6 @@ from __future__ import annotations
 import ctypes
 import logging
 import os
-import subprocess
 import threading
 
 import numpy as np
@@ -25,51 +24,17 @@ _lib = None
 _build_failed = False
 
 
-def _lib_path() -> str:
-    cache = os.environ.get(
-        "MERIZO_TPU_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "merizo_tpu"))
-    try:
-        tag = int(os.path.getmtime(_SRC))
-    except OSError:
-        tag = 0
-    return os.path.join(cache, f"libpdbparse-{tag}-mn.so")  # -mn: -march=native build flavor
-
-
-def _build() -> str | None:
-    try:
-        lib = _lib_path()
-        if os.path.exists(lib):
-            return lib
-        os.makedirs(os.path.dirname(lib), exist_ok=True)
-        base = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                "-o", lib, _SRC]
-        # JIT-built on the running host: host-ISA tuning is safe; fall back
-        # to a generic build if the toolchain rejects the flags
-        try:
-            subprocess.run(base[:2] + ["-march=native", "-funroll-loops"]
-                           + base[2:], check=True, capture_output=True,
-                           timeout=300)
-        except subprocess.SubprocessError:
-            subprocess.run(base, check=True, capture_output=True, timeout=300)
-        return lib
-    except (subprocess.SubprocessError, OSError) as e:
-        err = getattr(e, "stderr", b"") or b""
-        logger.warning("native pdb parser build failed: %s %s", e,
-                       err.decode()[:500] if isinstance(err, bytes) else err)
-        return None
-
-
 def _load():
     global _lib, _build_failed
     with _lock:
         if _lib is not None or _build_failed:
             return _lib
-        path = _build()
-        if path is None:
+        from ..utils.nativebuild import load_native_lib
+
+        lib = load_native_lib(_SRC, "pdbparse")
+        if lib is None:
             _build_failed = True
             return None
-        lib = ctypes.CDLL(path)
         lib.parse_ca.restype = ctypes.c_int
         lib.parse_ca.argtypes = [
             ctypes.c_char_p, ctypes.c_int64, ctypes.c_char,

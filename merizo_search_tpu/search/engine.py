@@ -233,20 +233,32 @@ class SearchEngine:
             prefix = getattr(self.db, "prefix", None)
             if prefix:
                 cache = f"{prefix}.ivf{self.ivf_nlist}.npz"
+            fp = self._db_fingerprint()
+            ivf = None
             if cache and os.path.exists(cache):
                 z = np.load(cache)
-                ivf = {"centroids": z["centroids"], "perm": z["perm"],
-                       "cluster_rows": int(z["cluster_rows"]),
-                       "nlist": int(z["centroids"].shape[0])}
-                logger.info("IVF loaded from %s", cache)
-            else:
+                # staleness check: a rebuilt/extended DB under the same
+                # prefix must invalidate the cached permutation, otherwise
+                # appended rows are silently never searched (and reordered
+                # rebuilds return wrong row ids). Old caches without a
+                # fingerprint are treated as stale.
+                if "fingerprint" in z and np.array_equal(z["fingerprint"], fp):
+                    ivf = {"centroids": z["centroids"], "perm": z["perm"],
+                           "cluster_rows": int(z["cluster_rows"]),
+                           "nlist": int(z["centroids"].shape[0])}
+                    logger.info("IVF loaded from %s", cache)
+                else:
+                    logger.warning("IVF cache %s is stale (database changed "
+                                   "since the build); rebuilding", cache)
+            if ivf is None:
                 ivf = ivf_mod.build_ivf(emb, self.ivf_nlist,
                                         multiple_of=self.ndev)
                 if cache:
                     try:
                         np.savez(cache, centroids=ivf["centroids"],
                                  perm=ivf["perm"],
-                                 cluster_rows=ivf["cluster_rows"])
+                                 cluster_rows=ivf["cluster_rows"],
+                                 fingerprint=fp)
                     except OSError as e:
                         logger.warning("could not cache IVF build: %s", e)
             if self.mesh is not None and ivf["nlist"] % self.ndev:
@@ -579,10 +591,29 @@ class SearchEngine:
                 logger.info("disk IVF loaded from %s (%.2fs)", p,
                             time.time() - t0)
         if self._sivf is None:
-            self._sivf = ivf_mod.write_disk_ivf(
-                self._normalised_embeddings(), self.db.lengths(),
-                self.ivf_nlist, p, precision=prec, fingerprint=fp)
-            logger.info("disk IVF built at %s (%.2fs)", p, time.time() - t0)
+            # cross-PROCESS build guard (self._init_lock only serialises
+            # threads of this engine): a CLI run and a server, or two server
+            # workers, sharing one DB prefix must not interleave writes into
+            # the same sidecar files. flock + re-check; builds are also
+            # published via tmp+rename inside write_disk_ivf.
+            import fcntl
+
+            with open(p + ".lock", "w") as lk:
+                fcntl.flock(lk, fcntl.LOCK_EX)
+                if os.path.exists(p + ".npz"):  # another process built it
+                    self._sivf = ivf_mod.load_disk_ivf(p)
+                    old = self._sivf.get("fingerprint")
+                    if old is not None and np.array_equal(old, fp):
+                        logger.info("disk IVF built by another process at %s",
+                                    p)
+                    else:
+                        self._sivf = None
+                if self._sivf is None:
+                    self._sivf = ivf_mod.write_disk_ivf(
+                        self._normalised_embeddings(), self.db.lengths(),
+                        self.ivf_nlist, p, precision=prec, fingerprint=fp)
+                    logger.info("disk IVF built at %s (%.2fs)", p,
+                                time.time() - t0)
         self._sivf["dcent"] = jax.device_put(
             self._sivf["centroids"].astype(np.float32))
         self.ivf_nlist = self._sivf["nlist"]  # build may clamp

@@ -27,6 +27,7 @@ the full scan depends on nprobe/nlist and the data's cluster structure
 from __future__ import annotations
 
 import logging
+import os
 from functools import partial
 
 import numpy as np
@@ -384,9 +385,15 @@ def write_disk_ivf(emb, lengths: np.ndarray, nlist: int, path_prefix: str,
     perm, c_rows = ivf["perm"], ivf["cluster_rows"]
     npad, dim = len(perm), emb.shape[1]
     dt = _disk_dtype(precision)
-    mm = np.memmap(path_prefix + ".emb", dtype=dt, mode="w+",
+    # sidecars are written under tmp names and renamed into place before the
+    # .npz descriptor lands (itself renamed last): a killed or concurrent
+    # build can never leave a readable-but-torn sidecar set, since readers
+    # gate on the .npz existing
+    tmp = f".tmp{os.getpid()}"
+    mm = np.memmap(path_prefix + ".emb" + tmp, dtype=dt, mode="w+",
                    shape=(npad, dim))
-    sc = (np.memmap(path_prefix + ".scales", np.float32, "w+", shape=(npad,))
+    sc = (np.memmap(path_prefix + ".scales" + tmp, np.float32, "w+",
+                    shape=(npad,))
           if precision == "int8" else None)
     CH = (1 << 18) // BLOCK * BLOCK  # slab rows; BLOCK-aligned so int8
     #                                  scale blocks never straddle a slab
@@ -402,18 +409,29 @@ def write_disk_ivf(emb, lengths: np.ndarray, nlist: int, path_prefix: str,
     mm.flush()
     if sc is not None:
         sc.flush()
-    pm = np.memmap(path_prefix + ".perm", np.int64, "w+", shape=(npad,))
+    pm = np.memmap(path_prefix + ".perm" + tmp, np.int64, "w+", shape=(npad,))
     pm[:] = perm
     pm.flush()
-    lp = np.memmap(path_prefix + ".len", np.float32, "w+", shape=(npad,))
+    lp = np.memmap(path_prefix + ".len" + tmp, np.float32, "w+",
+                   shape=(npad,))
     lp[:] = np.inf
     valid = perm >= 0
     lp[valid] = np.asarray(lengths, np.float32)[perm[valid]]
     lp.flush()
-    np.savez(path_prefix + ".npz", centroids=ivf["centroids"],
+    del mm, sc, pm, lp  # close the maps before renaming their files
+    names = [".emb", ".perm", ".len"] + ([".scales"]
+                                         if precision == "int8" else [])
+    for n in names:
+        os.replace(path_prefix + n + tmp, path_prefix + n)
+    np.savez(path_prefix + ".npz" + tmp, centroids=ivf["centroids"],
              cluster_rows=c_rows, precision=precision, npad=npad, dim=dim,
              fingerprint=np.asarray(fingerprint if fingerprint is not None
                                     else [], np.int64))
+    # np.savez appends .npz to unknown suffixes: normalise the tmp name
+    tmp_npz = (path_prefix + ".npz" + tmp
+               if os.path.exists(path_prefix + ".npz" + tmp)
+               else path_prefix + ".npz" + tmp + ".npz")
+    os.replace(tmp_npz, path_prefix + ".npz")
     logger.info("disk IVF written: %d clusters x %d rows (%s) at %s",
                 ivf["nlist"], c_rows, precision, path_prefix)
     return load_disk_ivf(path_prefix)

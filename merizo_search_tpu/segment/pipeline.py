@@ -179,6 +179,14 @@ def segment_structure(params, path: str, chain: str = "A", iterate: bool = False
     predict.py:142-197)."""
     t0 = time.time()
     f = generate_features(path, chain)
+    max_res = bucketing.DEFAULT_BUCKETS[-1]
+    if f["nres"] > max_res:
+        # same limit the batched path enforces — without it the bucket
+        # padding below raises an opaque broadcast error instead
+        raise ValueError(
+            f"{path}: {f['nres']} residues exceeds the {max_res}-residue "
+            "segmentation limit (the attention pair tensors scale as "
+            "N^2; AFDB chains cap at 2700)")
     dom_ids, conf_res = _forward_subset(params, f)
     return _finalize(params, f, dom_ids, conf_res, t0, iterate,
                      length_conditional_iterate, max_iterations,

@@ -198,3 +198,37 @@ def test_engine_mesh_ivf_int8(tmp_path, mixture):
     vm, im = em.search(q, k=5)
     np.testing.assert_array_equal(i1, im)
     np.testing.assert_allclose(v1, vm, atol=1e-5)
+
+
+def test_engine_ivf_cache_invalidated_on_db_change(tmp_path, rng, mixture):
+    """The persisted IVF build ({prefix}.ivf{nlist}.npz) must be invalidated
+    when the DB under the same prefix changes — a stale permutation would
+    silently skip appended rows or return wrong row ids."""
+    import os
+    from merizo_search_tpu.db import codecs
+    from merizo_search_tpu.search.engine import SearchEngine
+
+    emb, q = mixture
+    entries = [(f"d{i}", np.zeros((3, 3), np.float32), "AAA")
+               for i in range(len(emb))]
+    prefix = str(tmp_path / "stale")
+    codecs.write_pt_db(prefix, emb, entries)
+    eng = SearchEngine(codecs.FlatDB.open(prefix), index="ivf",
+                       ivf_nlist=64, ivf_nprobe=64)
+    v0, i0 = eng.search(q[:2], k=5)
+    assert os.path.exists(prefix + ".ivf64.npz")
+
+    # rewrite the DB in place with permuted content (same size); bump mtime
+    # past the fingerprint's 1-second granularity
+    perm = np.random.default_rng(9).permutation(len(emb))
+    codecs.write_pt_db(prefix, emb[perm], [entries[j] for j in perm])
+    st = os.stat(prefix + ".pt")
+    os.utime(prefix + ".pt", (st.st_atime, st.st_mtime + 10))
+
+    eng2 = SearchEngine(codecs.FlatDB.open(prefix), index="ivf",
+                        ivf_nlist=64, ivf_nprobe=64)
+    v2, i2 = eng2.search(q[:2], k=5)
+    # at nprobe=nlist IVF is exact: hits must rank the NEW row order
+    ref = np.argsort(-(q[:2] @ emb[perm].T), axis=1)[:, :5]
+    for r in range(2):
+        assert set(i2[r].tolist()) == set(ref[r].tolist())

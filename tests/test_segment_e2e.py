@@ -124,3 +124,8 @@ def test_oversize_structure_clear_error(tmp_path):
     params = load_merizo_params(None)
     with pytest.raises(ValueError, match="segmentation limit"):
         segment_structures(params, [path], ["A"])
+    # the single-structure entry (server /easy-search path) must enforce the
+    # same limit instead of dying on an opaque bucket-broadcast error
+    from merizo_search_tpu.segment.pipeline import segment_structure
+    with pytest.raises(ValueError, match="segmentation limit"):
+        segment_structure(params, path, "A")
