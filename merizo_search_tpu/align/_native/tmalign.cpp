@@ -212,8 +212,20 @@ static double tmscore_search(const std::vector<V3>& x, const std::vector<V3>& y,
   }
   if (seeds.empty()) seeds.push_back({0, na});
 
+  // SoA copies of the paired coordinates: the distance pass below is then
+  // pure elementwise over contiguous arrays, which the compiler vectorizes
+  // (identical per-element arithmetic, so results are unchanged; only the
+  // scalar score SUM stays in original order to keep bit-exactness)
+  size_t np_ = pairs.size();
+  std::vector<double> pxx(np_), pxy(np_), pxz(np_), pyx(np_), pyy(np_), pyz(np_);
+  for (size_t p = 0; p < np_; ++p) {
+    const V3& a = x[pairs[p]];
+    const V3& b = ysel[pairs[p]];
+    pxx[p] = a.x; pxy[p] = a.y; pxz[p] = a.z;
+    pyx[p] = b.x; pyy[p] = b.y; pyz[p] = b.z;
+  }
   std::vector<int> prev_sel;
-  std::vector<double> d2s(pairs.size());  // per-pair d2 under the current r
+  std::vector<double> d2s(np_);  // per-pair d2 under the current r
   double d02 = d0 * d0;
   for (auto& sd : seeds) {
     std::vector<int> sel(pairs.begin() + sd.first,
@@ -222,16 +234,22 @@ static double tmscore_search(const std::vector<V3>& x, const std::vector<V3>& y,
     prev_sel.clear();
     for (int it = 0; it < n_iter; ++it) {
       if (!kabsch(x, ysel, sel, &r)) break;
-      // one pass computes the TM score AND caches each pair's distance, so
-      // the reselection below is threshold scans over the cache instead of
-      // a second apply+dist2 sweep (tm_under semantics: sum over ali>=0,
-      // i.e. exactly `pairs`, against ysel)
-      double sc = 0;
-      for (size_t p = 0; p < pairs.size(); ++p) {
-        double d2 = dist2(apply(r, x[pairs[p]]), ysel[pairs[p]]);
-        d2s[p] = d2;
-        sc += 1.0 / (1.0 + d2 / d02);
+      // elementwise vectorizable distance pass fills the cache the
+      // reselection scans (tm_under semantics: sum over ali>=0, i.e.
+      // exactly `pairs`, against ysel)
+      for (size_t p = 0; p < np_; ++p) {
+        // association order mirrors apply()/dist2() exactly so the values
+        // (and thus selections/scores) are bit-identical to the AoS pass
+        double ax = (r.t[0] + r.u[0][0] * pxx[p] + r.u[0][1] * pxy[p] +
+                     r.u[0][2] * pxz[p]) - pyx[p];
+        double ay = (r.t[1] + r.u[1][0] * pxx[p] + r.u[1][1] * pxy[p] +
+                     r.u[1][2] * pxz[p]) - pyy[p];
+        double az = (r.t[2] + r.u[2][0] * pxx[p] + r.u[2][1] * pxy[p] +
+                     r.u[2][2] * pxz[p]) - pyz[p];
+        d2s[p] = ax * ax + ay * ay + az * az;
       }
+      double sc = 0;
+      for (size_t p = 0; p < np_; ++p) sc += 1.0 / (1.0 + d2s[p] / d02);
       sc /= lnorm;
       if (sc > best) { best = sc; *best_rot = r; }
       prev_sel.swap(sel);
@@ -415,6 +433,10 @@ static double dp_iterate(const std::vector<V3>& x, const std::vector<V3>& y,
   double best = -1.0;
   double d02 = d0 * d0;
   std::vector<double> S((size_t)nx * ny);
+  // SoA copy of y: the O(nx*ny) score fill below is elementwise over j and
+  // vectorizes over contiguous arrays (identical per-element arithmetic)
+  std::vector<double> yx(ny), yy(ny), yz(ny);
+  for (int j = 0; j < ny; ++j) { yx[j] = y[j].x; yy[j] = y[j].y; yz[j] = y[j].z; }
   const double gaps[2] = {-0.6, 0.0};
   for (int g = 0; g < 2; ++g) {
     std::vector<int> cur = ali;
@@ -426,7 +448,10 @@ static double dp_iterate(const std::vector<V3>& x, const std::vector<V3>& y,
       for (int i = 0; i < nx; ++i) {
         V3 xt = apply(r, x[i]);
         double* srow = &S[(size_t)i * ny];
-        for (int j = 0; j < ny; ++j) srow[j] = 1.0 / (1.0 + dist2(xt, y[j]) / d02);
+        for (int j = 0; j < ny; ++j) {
+          double dx = xt.x - yx[j], dy = xt.y - yy[j], dz = xt.z - yz[j];
+          srow[j] = 1.0 / (1.0 + (dx * dx + dy * dy + dz * dz) / d02);
+        }
       }
       prev = cur;
       nw_align(S.data(), nx, ny, gaps[g], &cur);
