@@ -534,24 +534,23 @@ def main(argv=None):
         print(USAGE)
         return
     mode, rest = argv[0], argv[1:]
-    if mode == "segment":
-        segment(rest)
-    elif mode == "createdb":
-        createdb(rest)
-    elif mode == "search":
-        search(rest)
-    elif mode == "easy-search":
-        easy_search(rest)
-    elif mode == "serve":
-        serve(rest)
-    elif mode == "dbinfo":
-        dbinfo(rest)
-    elif mode in ("-h", "--help"):
+    verbs = {"segment": segment, "createdb": createdb, "search": search,
+             "easy-search": easy_search, "serve": serve, "dbinfo": dbinfo}
+    if mode in ("-h", "--help"):
         print(USAGE)
-    else:
+        return
+    if mode not in verbs:
         print("Invalid mode. Please choose one of 'segment', 'createdb', "
               "'search', 'easy-search', 'serve', or 'dbinfo'.")
         sys.exit(2)
+    try:
+        verbs[mode](rest)
+    except FileNotFoundError as e:
+        # a database with a present descriptor but missing payload files
+        # (or a bad path) is a user-input error, not a crash: log-and-exit
+        # like the reference (dbsearch.py:72)
+        logger.error("missing file: %s", e)
+        sys.exit(1)
 
 
 if __name__ == "__main__":
