@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import json
 import logging
+import os
 import tempfile
 import threading
 import time
@@ -173,14 +174,29 @@ class SearchService:
 
                 embed_structures(self.fc_params, [dummy["coords"]])
             # /easy-search additionally runs the Merizo segmenter forward —
-            # warm its smallest bucket too (writes a synthetic CA chain)
+            # warm its smallest bucket too. The segmenter needs a COMPLETE
+            # backbone (N/CA/C) for frame construction, so synthesize full
+            # backbone records; a CA-only chain is rejected by the parser
+            # and would silently skip this warm-up.
             import tempfile as _tf
 
-            from .io.pdb import write_ca_pdb
             from .segment.pipeline import segment_structure
 
+            lines = []
+            serial = 1
+            for i, ca in enumerate(dummy["coords"]):
+                for atom, off in (("N", -0.7), ("CA", 0.0), ("C", 0.7),
+                                  ("O", 1.2)):
+                    x, y, z = (float(v) + off for v in ca)
+                    lines.append(
+                        f"ATOM  {serial:5d} {atom:<4s} ALA A{i + 1:4d}    "
+                        f"{x:8.3f}{y:8.3f}{z:8.3f}  1.00  0.00           "
+                        f"{atom[0]}")
+                    serial += 1
             with _tf.TemporaryDirectory() as td:
-                p = write_ca_pdb(td, dummy["coords"], dummy["seq"], "warmup")
+                p = os.path.join(td, "warmup.pdb")
+                with open(p, "w") as fh:
+                    fh.write("\n".join(lines) + "\nTER\nEND\n")
                 segment_structure(self.mz_params, p, chain="A")
             logger.info("warm-up compile finished in %.1fs", time.time() - t0)
         except Exception as e:  # warm-up must never block serving
