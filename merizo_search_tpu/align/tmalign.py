@@ -5,12 +5,15 @@ subprocess once per query-hit pair (programs/Foldclass/utils.py:75-109,
 dbsearch.py:162) and dominates end-to-end wall clock. Here the whole top-k
 rescoring batch aligns at once on device:
 
-- initial alignment by exhaustive gapless threading (all offsets, vmapped
-  Kabsch + TM-score);
+- initial alignments by exhaustive gapless threading (all offsets, vmapped
+  Kabsch + TM-score) AND by NW over the CA-geometry secondary-structure
+  match matrix (TM-align's get_initial_ss);
 - iterative refinement alternating (a) TM-score-optimal superposition search
-  over the current alignment and (b) Needleman-Wunsch DP (free end gaps,
-  gap open -0.6) on the 1/(1+d^2/d0^2) similarity matrix — the TM-align
-  algorithm (Zhang & Skolnick 2005), re-derived for SIMD execution;
+  over the current alignment and (b) Needleman-Wunsch DP (free end gaps)
+  on the 1/(1+d^2/d0^2) similarity matrix — the TM-align algorithm
+  (Zhang & Skolnick 2005), re-derived for SIMD execution; refinement runs
+  as a vmapped bank of chains (each init x gap penalty in {-0.6, 0}) and
+  keeps the best-scoring basin;
 - DP runs as an anti-diagonal wavefront lax.scan (2L steps of length-L vector
   ops), batched over pairs with vmap, so batch B costs the same wall-clock
   as one pair;
@@ -59,7 +62,7 @@ def _d0_search(d0):
 # ---------------------------------------------------------------------------
 # Needleman-Wunsch on anti-diagonals
 
-def _dp_align(S, nx, ny):
+def _dp_align(S, nx, ny, gap=GAP):
     """Semi-global NW (free end gaps) over S [L,L]; cells outside
     [0,nx)x[0,ny) carry NEG. Returns ali [L] int32 (y index per x position,
     -1 for unaligned)."""
@@ -73,8 +76,8 @@ def _dp_align(S, nx, ny):
         valid = (i_idx >= 1) & (j_idx >= 1) & (i_idx <= L) & (j_idx <= L)
         s_ij = S[jnp.clip(i_idx - 1, 0, L - 1), jnp.clip(j_idx - 1, 0, L - 1)]
         diag = jnp.where(valid, jnp.roll(h_km2, 1) + s_ij, NEG * 2)
-        up = jnp.where(valid, jnp.roll(h_km1, 1) + GAP, NEG * 2)
-        left = jnp.where(valid, h_km1 + GAP, NEG * 2)
+        up = jnp.where(valid, jnp.roll(h_km1, 1) + gap, NEG * 2)
+        left = jnp.where(valid, h_km1 + gap, NEG * 2)
         best = jnp.maximum(diag, jnp.maximum(up, left))
         ptr = jnp.where(best == diag, 0, jnp.where(best == up, 1, 2)).astype(jnp.int8)
         # boundary cells: first row/col are 0 (free end gaps)
@@ -187,6 +190,47 @@ def tm_score_search(x, y, ali, d0, lnorm, n_iter: int = 8):
 
 
 # ---------------------------------------------------------------------------
+# initial alignment: secondary structure
+
+def _assign_ss(c, nres):
+    """CA-geometry secondary structure (TM-align's make_sec; same rules as
+    the C++ backend's assign_ss): window distances around residue i decide
+    helix (1), strand (2), turn (3), else coil (0). Positions outside
+    [2, nres-3) are coil."""
+    L = c.shape[0]
+    i = jnp.arange(L)
+
+    def d(a, b):
+        return jnp.linalg.norm(c[jnp.clip(i + a, 0, L - 1)]
+                               - c[jnp.clip(i + b, 0, L - 1)], axis=-1)
+
+    d13, d14, d15 = d(-2, 0), d(-2, 1), d(-2, 2)
+    d24, d25, d35 = d(-1, 1), d(-1, 2), d(0, 2)
+    helix = ((jnp.abs(d15 - 6.37) < 2.1) & (jnp.abs(d14 - 5.18) < 2.1) &
+             (jnp.abs(d25 - 5.18) < 2.1) & (jnp.abs(d13 - 5.45) < 2.1) &
+             (jnp.abs(d24 - 5.45) < 2.1) & (jnp.abs(d35 - 5.45) < 2.1))
+    strand = ((jnp.abs(d15 - 13.0) < 1.42) & (jnp.abs(d14 - 10.4) < 1.42) &
+              (jnp.abs(d25 - 10.4) < 1.42) & (jnp.abs(d13 - 6.1) < 1.42) &
+              (jnp.abs(d24 - 6.1) < 1.42) & (jnp.abs(d35 - 6.1) < 1.42))
+    code = jnp.where(helix, 1, jnp.where(strand, 2,
+                     jnp.where(d15 < 8.0, 3, 0))).astype(jnp.int8)
+    valid = (i >= 2) & (i + 2 < nres)
+    return jnp.where(valid, code, jnp.int8(0))
+
+
+def _ss_init(x, y, xm, ym, nx, ny):
+    """Initial alignment by NW over the secondary-structure match matrix
+    (match 1.0, mismatch 0.0, gap -1.0) — the init that rescues pairs whose
+    best superposition shares no long gapless diagonal (TM-align's
+    get_initial_ss)."""
+    ssx = _assign_ss(x, nx)
+    ssy = _assign_ss(y, ny)
+    S = (ssx[:, None] == ssy[None, :]).astype(jnp.float32)
+    S = jnp.where((xm[:, None] > 0) & (ym[None, :] > 0), S, NEG)
+    return _dp_align(S, nx, ny, gap=-1.0)
+
+
+# ---------------------------------------------------------------------------
 # initial alignment: gapless threading
 
 def _threading_init(x, y, nx, ny, d0, lnorm, stride: int = 1):
@@ -229,27 +273,42 @@ def _tmalign_batch(x, xm, y, ym, n_refine, n_tm_iter):
         d0_min = tm_d0(lmin)
         L = x1.shape[0]
 
-        ali = _threading_init(x1, y1, nx, ny, d0_min, lmin)
+        def refine_chain(ali0, gap):
+            def refine(carry, _):
+                ali, best_score, best_ali = carry
+                score, r, t = tm_score_search(x1, y1, ali, d0_min, lmin,
+                                              n_tm_iter)
+                better = score > best_score
+                best_score = jnp.where(better, score, best_score)
+                best_ali = jnp.where(better, ali, best_ali)
+                xt = transform(r, t, x1)
+                d2 = jnp.sum((xt[:, None, :] - y1[None, :, :]) ** 2, axis=-1)
+                S = 1.0 / (1.0 + d2 / (d0_min * d0_min))
+                S = jnp.where((xm1[:, None] > 0) & (ym1[None, :] > 0), S, NEG)
+                ali_new = _dp_align(S, nx, ny, gap=gap)
+                return (ali_new, best_score, best_ali), None
 
-        def refine(carry, _):
-            ali, best_score, best_ali = carry
-            score, r, t = tm_score_search(x1, y1, ali, d0_min, lmin, n_tm_iter)
-            better = score > best_score
-            best_score = jnp.where(better, score, best_score)
-            best_ali = jnp.where(better, ali, best_ali)
-            xt = transform(r, t, x1)
-            d2 = jnp.sum((xt[:, None, :] - y1[None, :, :]) ** 2, axis=-1)
-            S = 1.0 / (1.0 + d2 / (d0_min * d0_min))
-            S = jnp.where((xm1[:, None] > 0) & (ym1[None, :] > 0), S, NEG)
-            ali_new = _dp_align(S, nx, ny)
-            return (ali_new, best_score, best_ali), None
+            init = (ali0, np.float32(-1.0), ali0)
+            (ali_last, best_score, best_ali), _ = jax.lax.scan(
+                refine, init, None, length=n_refine)
+            # evaluate the last alignment too
+            score_last, _, _ = tm_score_search(x1, y1, ali_last, d0_min,
+                                               lmin, n_tm_iter)
+            best_ali = jnp.where(score_last > best_score, ali_last, best_ali)
+            return jnp.maximum(score_last, best_score), best_ali
 
-        init = (ali, np.float32(-1.0), ali)
-        (ali_last, best_score, best_ali), _ = jax.lax.scan(
-            refine, init, None, length=n_refine)
-        # evaluate the last alignment too
-        score_last, _, _ = tm_score_search(x1, y1, ali_last, d0_min, lmin, n_tm_iter)
-        best_ali = jnp.where(score_last > best_score, ali_last, best_ali)
+        # independent refine basins, like the native backend's init list x
+        # gap schedule: gapless threading finds the best shared diagonal;
+        # the SS-match NW rescues pairs whose superposition has no long
+        # gapless diagonal; the zero-gap DP chain grows alignments that the
+        # open-penalty chain fragments (measured +0.11 qtm on a real
+        # low-homology pair). All chains run under one vmap.
+        thr = _threading_init(x1, y1, nx, ny, d0_min, lmin)
+        ssa = _ss_init(x1, y1, xm1, ym1, nx, ny)
+        inits = jnp.stack([thr, ssa, thr, ssa])
+        gaps = jnp.asarray([GAP, GAP, 0.0, 0.0], jnp.float32)
+        scores2, alis2 = jax.vmap(refine_chain)(inits, gaps)
+        best_ali = alis2[jnp.argmax(scores2)]
 
         qtm, _, _ = tm_score_search(x1, y1, best_ali, tm_d0(nx), nx.astype(jnp.float32), n_tm_iter)
         ttm, r_b, t_b = tm_score_search(x1, y1, best_ali, tm_d0(ny), ny.astype(jnp.float32), n_tm_iter)

@@ -17,11 +17,12 @@ published pair scores these tests pin, with explicit tolerances:
    the reported qtm must match the TM-score formula evaluated on its own
    alignment after Kabsch superposition.
 
-Known divergence, documented: on UNRELATED real pairs (true TM ~ 0.2-0.3)
-the JAX aligner's seed heuristics find weaker alignments than the C++
-backend (by up to ~0.15 qtm). This region is far below the mintm gate, so
-rescoring decisions are unaffected; the dispatcher prefers the native
-backend when built (align/__init__.py).
+Known divergence, documented: on UNRELATED real pairs (true TM ~ 0.03-0.3)
+the JAX aligner can land up to ~0.05 qtm below the C++ backend (it was
+~0.15 before the SS-init and zero-gap DP chains were added; on one real
+pair it now scores 0.02 ABOVE the native backend). This region is far
+below the mintm gate, so rescoring decisions are unaffected; the
+dispatcher prefers the native backend when built (align/__init__.py).
 """
 
 import itertools
@@ -48,12 +49,12 @@ PINNED_NATIVE_QTM = {
     ("AF-Q96PD2-F1-model_v4.pdb", "M0.pdb"): 0.0322,
 }
 PINNED_JAX_QTM = {
-    ("3w5h.pdb", "AF-Q96HM7-F1-model_v4.pdb"): 0.2394,
-    ("3w5h.pdb", "AF-Q96PD2-F1-model_v4.pdb"): 0.2022,
-    ("3w5h.pdb", "M0.pdb"): 0.0221,
-    ("AF-Q96HM7-F1-model_v4.pdb", "AF-Q96PD2-F1-model_v4.pdb"): 0.1505,
-    ("AF-Q96HM7-F1-model_v4.pdb", "M0.pdb"): 0.0136,
-    ("AF-Q96PD2-F1-model_v4.pdb", "M0.pdb"): 0.0321,
+    ("3w5h.pdb", "AF-Q96HM7-F1-model_v4.pdb"): 0.2982,
+    ("3w5h.pdb", "AF-Q96PD2-F1-model_v4.pdb"): 0.2903,
+    ("3w5h.pdb", "M0.pdb"): 0.0235,
+    ("AF-Q96HM7-F1-model_v4.pdb", "AF-Q96PD2-F1-model_v4.pdb"): 0.2562,
+    ("AF-Q96HM7-F1-model_v4.pdb", "M0.pdb"): 0.0137,
+    ("AF-Q96PD2-F1-model_v4.pdb", "M0.pdb"): 0.0305,
 }
 
 
