@@ -352,54 +352,66 @@ def tmalign_pairs(pairs: list[tuple], fast: bool = False) -> list[dict]:
         b = _bucket(max(len(q["coords"]), len(t["coords"])))
         groups.setdefault(b, []).append(i)
 
-    for b, idxs in sorted(groups.items()):
-        B = len(idxs)
-        x = np.zeros((B, b, 3), np.float32)
-        y = np.zeros((B, b, 3), np.float32)
-        xm = np.zeros((B, b), np.float32)
-        ym = np.zeros((B, b), np.float32)
-        for k, i in enumerate(idxs):
-            q, t = pairs[i]
-            nq, nt = min(len(q["coords"]), b), min(len(t["coords"]), b)
-            x[k, :nq] = q["coords"][:nq]
-            y[k, :nt] = t["coords"][:nt]
-            xm[k, :nq] = 1
-            ym[k, :nt] = 1
-        out = _tmalign_batch(jnp.asarray(x), jnp.asarray(xm),
-                             jnp.asarray(y), jnp.asarray(ym),
-                             n_refine, n_tm_iter)
-        qtm = np.asarray(out["qtm"])
-        ttm = np.asarray(out["ttm"])
-        rmsd = np.asarray(out["rmsd"])
-        len_ali = np.asarray(out["len_ali"])
-        ali = np.asarray(out["ali"])
-        for k, i in enumerate(idxs):
-            q, t = pairs[i]
-            n_id = seq_identity_count(q["seq"][:b], t["seq"], ali[k])
-            la = int(len_ali[k])
-            # structures longer than the largest bucket are aligned over
-            # their first `b` residues; renormalise the TM-scores by the
-            # TRUE chain lengths so truncation can only underestimate
-            # (the in-kernel score normalises by the truncated length,
-            # which would inflate qtm/ttm up to len/b times — the native
-            # backend aligns full-length and would reject such hits)
-            qv, tv = float(qtm[k]), float(ttm[k])
-            if len(q["coords"]) > b:
-                qv *= b / len(q["coords"])
-                logger.warning(
-                    "TM-align TPU backend truncated a %d-residue query to "
-                    "%d; qtm renormalised by the full length (conservative)",
-                    len(q["coords"]), b)
-            if len(t["coords"]) > b:
-                tv *= b / len(t["coords"])
-            results[i] = {
-                "len_ali": la,
-                "rmsd": float(rmsd[k]),
-                "seq_id": (n_id / la) if la else 0.0,
-                "qtm": qv,
-                "ttm": tv,
-            }
+    for b, all_idxs in sorted(groups.items()):
+        # bound per-dispatch device memory: the refine bank materialises
+        # ~4 chains x [b, b] f32 similarity matrices per pair, so cap the
+        # batch at ~2 GB of S-matrices and loop (a 2048-residue bucket
+        # still dispatches 32 pairs at once; small buckets are unaffected)
+        cap = max(1, (1 << 31) // (16 * b * b))
+        for c0 in range(0, len(all_idxs), cap):
+            idxs = all_idxs[c0:c0 + cap]
+            _align_bucket(pairs, idxs, b, n_refine, n_tm_iter, results)
     return results
+
+
+def _align_bucket(pairs, idxs, b, n_refine, n_tm_iter, results):
+    """Align one bucket-shaped chunk of pairs; writes into results[i]."""
+    B = len(idxs)
+    x = np.zeros((B, b, 3), np.float32)
+    y = np.zeros((B, b, 3), np.float32)
+    xm = np.zeros((B, b), np.float32)
+    ym = np.zeros((B, b), np.float32)
+    for k, i in enumerate(idxs):
+        q, t = pairs[i]
+        nq, nt = min(len(q["coords"]), b), min(len(t["coords"]), b)
+        x[k, :nq] = q["coords"][:nq]
+        y[k, :nt] = t["coords"][:nt]
+        xm[k, :nq] = 1
+        ym[k, :nt] = 1
+    out = _tmalign_batch(jnp.asarray(x), jnp.asarray(xm),
+                         jnp.asarray(y), jnp.asarray(ym),
+                         n_refine, n_tm_iter)
+    qtm = np.asarray(out["qtm"])
+    ttm = np.asarray(out["ttm"])
+    rmsd = np.asarray(out["rmsd"])
+    len_ali = np.asarray(out["len_ali"])
+    ali = np.asarray(out["ali"])
+    for k, i in enumerate(idxs):
+        q, t = pairs[i]
+        n_id = seq_identity_count(q["seq"][:b], t["seq"], ali[k])
+        la = int(len_ali[k])
+        # structures longer than the largest bucket are aligned over
+        # their first `b` residues; renormalise the TM-scores by the
+        # TRUE chain lengths so truncation can only underestimate
+        # (the in-kernel score normalises by the truncated length,
+        # which would inflate qtm/ttm up to len/b times — the native
+        # backend aligns full-length and would reject such hits)
+        qv, tv = float(qtm[k]), float(ttm[k])
+        if len(q["coords"]) > b:
+            qv *= b / len(q["coords"])
+            logger.warning(
+                "TM-align TPU backend truncated a %d-residue query to "
+                "%d; qtm renormalised by the full length (conservative)",
+                len(q["coords"]), b)
+        if len(t["coords"]) > b:
+            tv *= b / len(t["coords"])
+        results[i] = {
+            "len_ali": la,
+            "rmsd": float(rmsd[k]),
+            "seq_id": (n_id / la) if la else 0.0,
+            "qtm": qv,
+            "ttm": tv,
+        }
 
 
 def run_tmalign_pair(query: dict, target: dict, fast: bool = False) -> dict:
