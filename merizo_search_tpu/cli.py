@@ -539,6 +539,10 @@ def main(argv=None):
     if mode in ("-h", "--help"):
         print(USAGE)
         return
+    if mode in ("-V", "--version"):
+        from . import __version__
+        print(f"merizo-search-tpu {__version__}")
+        return
     if mode not in verbs:
         print("Invalid mode. Please choose one of 'segment', 'createdb', "
               "'search', 'easy-search', 'serve', or 'dbinfo'.")
