@@ -34,10 +34,22 @@ ATOM_DTYPE = [
 BACKBONE_ATOMS = ("N", "CA", "C", "O")
 
 
-def _line_matrix(path: str) -> np.ndarray:
-    """Read a PDB file into a [n_lines, 80] uint8 matrix (lines padded/truncated)."""
+def _read_bytes(path: str) -> bytes:
+    """File bytes, transparently gunzipped for .gz inputs (the PDB archive
+    distributes structures as pdb<id>.ent.gz; TED-scale corpora ship
+    compressed)."""
     with open(path, "rb") as fh:
         raw = fh.read()
+    if path.endswith(".gz"):
+        import gzip
+
+        raw = gzip.decompress(raw)
+    return raw
+
+
+def _line_matrix(path: str) -> np.ndarray:
+    """Read a PDB file into a [n_lines, 80] uint8 matrix (lines padded/truncated)."""
+    raw = _read_bytes(path)
     lines = raw.splitlines()
     n = len(lines)
     mat = np.full((n, 80), ord(" "), dtype=np.uint8)
@@ -204,8 +216,7 @@ def read_ca(path: str, chain: str = "A") -> dict:
     from . import native_parse
 
     if native_parse.available():
-        with open(path, "rb") as fh:
-            raw = fh.read()
+        raw = _read_bytes(path)
         out = native_parse.parse_ca_bytes(raw, chain)
         if out is not None:
             coords, seq = out

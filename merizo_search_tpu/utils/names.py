@@ -5,11 +5,12 @@ from __future__ import annotations
 import os
 
 CIF_EXTS = (".cif", ".mmcif", ".cif.gz", ".mmcif.gz")
-STRUCT_EXTS = (".pdb",) + CIF_EXTS
+PDB_EXTS = (".pdb", ".pdb.gz", ".ent", ".ent.gz")  # .ent: PDB archive naming
+STRUCT_EXTS = PDB_EXTS + CIF_EXTS
 
 
 def strip_struct_ext(name: str) -> str:
-    """Drop a structure-file extension (.pdb/.cif/.mmcif, optionally .gz).
+    """Drop a structure-file extension (.pdb/.ent/.cif/.mmcif, optionally .gz).
 
     The reference only ever strips '.pdb' (e.g. dbsearch.py target names,
     dbsearch_fulllength.py:36-39); with mmCIF inputs supported, every

@@ -155,3 +155,30 @@ def test_native_parser_truncated_records(tmp_path):
         native_parse._build_failed = False
     np.testing.assert_array_equal(ref["coords"], coords)
     assert ref["seq"] == seq
+
+
+def test_gzipped_and_ent_pdb_inputs(tmp_path):
+    """PDB-archive file forms: .pdb.gz and pdb<id>.ent(.gz) parse identically
+    to the plain .pdb (TED-scale corpora ship compressed; the PDB archive
+    uses .ent.gz naming)."""
+    import gzip
+    import shutil
+
+    from merizo_search_tpu.io.pdb import parse_backbone, read_ca
+    from merizo_search_tpu.utils.names import strip_struct_ext
+
+    src = "/root/reference/examples/3w5h.pdb"
+    plain = read_ca(src, "A")
+    gz = str(tmp_path / "3w5h.pdb.gz")
+    with open(src, "rb") as f, gzip.open(gz, "wb") as g:
+        shutil.copyfileobj(f, g)
+    ent = str(tmp_path / "pdb3w5h.ent")
+    shutil.copyfile(src, ent)
+
+    for p in (gz, ent):
+        r = read_ca(p, "A")
+        assert r["seq"] == plain["seq"]
+        np.testing.assert_array_equal(r["coords"], plain["coords"])
+    assert parse_backbone(gz, "A").shape == parse_backbone(src, "A").shape
+    assert strip_struct_ext("pdb3w5h.ent.gz") == "pdb3w5h"
+    assert strip_struct_ext("x.pdb.gz") == "x"
