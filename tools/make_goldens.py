@@ -29,6 +29,58 @@ def sd_to_npz(sd, prefix=""):
     return {prefix + k: v.detach().cpu().numpy() for k, v in sd.items()}
 
 
+def install_rotary_stub():
+    """Make `rotary_embedding_torch` importable; return its RotaryEmbedding.
+
+    The real lucidrains package is not installed in this image, so goldens are
+    generated against this faithful stand-in for the default path the
+    reference exercises (`RotaryEmbedding(dim).rotate_queries_or_keys(t)`,
+    nndef_ipa.py:111,184-185): theta=10000, positions along dim -2,
+    interleaved pair rotation over the first `dim` channels, remaining
+    channels passed through. If the real package is present it wins.
+
+    The convention is pinned by tests/test_rotary_convention.py, which checks
+    this class against an independently-derived complex-arithmetic
+    formulation and discriminates it from the half-split (GPT-NeoX) variant.
+    """
+    try:
+        from rotary_embedding_torch import RotaryEmbedding  # noqa: F401
+        return RotaryEmbedding
+    except ImportError:
+        pass
+    import types
+
+    mod = types.ModuleType("rotary_embedding_torch")
+
+    class RotaryEmbedding(torch.nn.Module):
+        def __init__(self, dim, theta=10000):
+            super().__init__()
+            inv = 1.0 / (theta ** (torch.arange(0, dim, 2).float() / dim))
+            self.register_buffer("inv_freq", inv)
+
+        def rotate_queries_or_keys(self, t, seq_dim=-2):
+            seq_len = t.shape[seq_dim]
+            pos = torch.arange(seq_len, dtype=self.inv_freq.dtype)
+            freqs = torch.einsum("i,j->ij", pos, self.inv_freq)     # [S, dim/2]
+            freqs = torch.repeat_interleave(freqs, 2, dim=-1)        # [S, dim]
+            rot_dim = freqs.shape[-1]
+            # broadcast freqs over leading dims at position seq_dim
+            shape = [1] * t.ndim
+            shape[seq_dim] = seq_len
+            shape[-1] = rot_dim
+            freqs = freqs.reshape(shape)
+            t_rot, t_pass = t[..., :rot_dim], t[..., rot_dim:]
+            x1 = t_rot[..., 0::2]
+            x2 = t_rot[..., 1::2]
+            half_rot = torch.stack((-x2, x1), dim=-1).reshape(t_rot.shape)
+            t_rot = t_rot * freqs.cos() + half_rot * freqs.sin()
+            return torch.cat((t_rot, t_pass), dim=-1)
+
+    mod.RotaryEmbedding = RotaryEmbedding
+    sys.modules["rotary_embedding_torch"] = mod
+    return RotaryEmbedding
+
+
 def make_foldclass():
     from programs.Foldclass.nndef_fold_egnn_embed import FoldClassNet
 
@@ -68,43 +120,9 @@ def make_merizo():
     except ImportError:
         pass
 
-    # Stub out rotary_embedding_torch if absent (not installed in this image).
-    # The stub must faithfully reproduce the lucidrains implementation the
-    # reference depends on (rotate_queries_or_keys with default seq_dim=-2,
-    # theta=10000, interleaved pair rotation over the first `dim*2` channels).
-    try:
-        import rotary_embedding_torch  # noqa: F401
-    except ImportError:
-        import types
-
-        mod = types.ModuleType("rotary_embedding_torch")
-
-        class RotaryEmbedding(torch.nn.Module):
-            def __init__(self, dim, theta=10000):
-                super().__init__()
-                inv = 1.0 / (theta ** (torch.arange(0, dim, 2).float() / dim))
-                self.register_buffer("inv_freq", inv)
-
-            def rotate_queries_or_keys(self, t, seq_dim=-2):
-                seq_len = t.shape[seq_dim]
-                pos = torch.arange(seq_len, dtype=self.inv_freq.dtype)
-                freqs = torch.einsum("i,j->ij", pos, self.inv_freq)     # [S, dim/2]
-                freqs = torch.repeat_interleave(freqs, 2, dim=-1)        # [S, dim]
-                rot_dim = freqs.shape[-1]
-                # broadcast freqs over leading dims at position seq_dim
-                shape = [1] * t.ndim
-                shape[seq_dim] = seq_len
-                shape[-1] = rot_dim
-                freqs = freqs.reshape(shape)
-                t_rot, t_pass = t[..., :rot_dim], t[..., rot_dim:]
-                x1 = t_rot[..., 0::2]
-                x2 = t_rot[..., 1::2]
-                half_rot = torch.stack((-x2, x1), dim=-1).reshape(t_rot.shape)
-                t_rot = t_rot * freqs.cos() + half_rot * freqs.sin()
-                return torch.cat((t_rot, t_pass), dim=-1)
-
-        mod.RotaryEmbedding = RotaryEmbedding
-        sys.modules["rotary_embedding_torch"] = mod
+    # Make rotary_embedding_torch importable (stub if absent; see
+    # install_rotary_stub's docstring for the convention pinning).
+    install_rotary_stub()
 
     from programs.Merizo.model.network import Merizo
     from programs.Merizo.model.utils.features import generate_features_domain
