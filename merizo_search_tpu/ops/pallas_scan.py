@@ -165,6 +165,11 @@ def _bm_kernel(nv_ref, q_ref, db_ref, *rest, tile,
             # revisited for 8 consecutive steps; each step writes its
             # sublane slot via a one-hot select (every slot is written
             # exactly once before the block retires, so no init needed).
+            # Measured alternative: static-index (qt, 1, nbt) stores under
+            # 8 pl.when branches lower as strided masked stores and run
+            # ~2x SLOWER than this full-block select (7.9 vs 3.6 ms/batch
+            # phase A at Q=256 int8) — the RMW's ~0.4 ms VPU cost is the
+            # cheapest layout Mosaic supports for this write pattern.
             mid = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 1), 1)
             cur = bm_ref[j * qt:(j + 1) * qt, :, :]
             bm_ref[j * qt:(j + 1) * qt, :, :] = jnp.where(
@@ -326,6 +331,15 @@ def quantize_blocks(x: np.ndarray, block: int = BLOCK):
     return qv, s
 
 
+# Precision for the one-hot gather matmuls. HIGH (bf16x3) is BIT-EXACT for
+# one-hot @ f32: the 3-term bf16 decomposition of an f32 operand covers its
+# full 24-bit mantissa exactly (8 bits per term, non-overlapping), the
+# one-hot side's 0.0/1.0 are exact in bf16, and the partial products are
+# accumulated in f32 — so each output is the selected value reconstructed
+# exactly (zeros contribute exact zeros). HIGHEST (6 passes) costs ~2x the
+# MXU work for no additional accuracy on this op class.
+ONEHOT_PRECISION = jax.lax.Precision.HIGH
+
 SUB = 8  # minimum subblock width for the recursive cover select
 NEG_CAP = np.float32(-3.4e38)  # finite stand-in for -inf during selection
 
@@ -373,13 +387,13 @@ def _gather_subblocks(sb, sbi):
         ohh = (hi[:, :, None] == np.arange(a)[None, None, :]).astype(jnp.float32)
         t = jnp.einsum("qka,qac->qkc", ohh, sb.reshape(qn, a, b * sub),
                        preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=ONEHOT_PRECISION)
         ohl = (lo[:, :, None] == np.arange(b)[None, None, :]).astype(jnp.float32)
         return jnp.sum(t.reshape(qn, kk, b, sub) * ohl[:, :, :, None], axis=2)
     onehot = (sbi[:, :, None] == np.arange(nsb)[None, None, :]).astype(jnp.float32)
     return jnp.einsum("qkb,qbc->qkc", onehot, sb,
                       preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=ONEHOT_PRECISION)
 
 
 def _topk_finite(x, k):
@@ -455,7 +469,7 @@ def _gather_int(src, sel):
     onehot = (sel[:, :, None] == np.arange(w)[None, None, :]).astype(jnp.float32)
     out = jnp.einsum("qkw,qw->qk", onehot, src.astype(jnp.float32),
                      preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
+                     precision=ONEHOT_PRECISION)
     return out.astype(jnp.int32)
 
 
@@ -474,13 +488,13 @@ def _gather_blockvec_f32(vec, ids):
         ohh = (hi[:, :, None] == np.arange(a)[None, None, :]).astype(jnp.float32)
         t = jnp.einsum("qja,ab->qjb", ohh, vec.reshape(a, b),
                        preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=ONEHOT_PRECISION)
         ohl = (lo[:, :, None] == np.arange(b)[None, None, :]).astype(jnp.float32)
         return jnp.sum(t * ohl, axis=2)
     onehot = (ids[:, :, None] == np.arange(w)[None, None, :]).astype(jnp.float32)
     return jnp.einsum("qjw,w->qj", onehot, vec,
                       preferred_element_type=jnp.float32,
-                      precision=jax.lax.Precision.HIGHEST)
+                      precision=ONEHOT_PRECISION)
 
 
 def _gather_chunking(kb: int, qp: int, d: int, itemsize: int,
@@ -896,7 +910,7 @@ def _select_blocks(bm, sbm, n_valid, k, use_sb, sb_scale=None):
                   ).astype(jnp.float32)
         cand_bm = jnp.einsum("qks,qsb->qkb", onehot, bm,
                              preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
+                             precision=ONEHOT_PRECISION)
         cand_bm = jnp.where(sbi[:, :, None] < 0, NEG_CAP, cand_bm)
         _, bsel = _topk_finite(cand_bm.reshape(qp, (ksb + 1) * nbt), kb)
         # local candidate -> global block id arithmetically (gathered values
@@ -910,7 +924,7 @@ def _select_blocks(bm, sbm, n_valid, k, use_sb, sb_scale=None):
             # same one-hot, tiny RHS: cand slabs of the per-block scales
             cand_sc = jnp.einsum("qks,sb->qkb", onehot, sb_scale,
                                  preferred_element_type=jnp.float32,
-                                 precision=jax.lax.Precision.HIGHEST)
+                                 precision=ONEHOT_PRECISION)
             picked = _gather_subblocks(cand_sc, slot)    # [Qp, kb, nbt]
             lo_oh = (bsel[:, :, None] % nbt ==
                      np.arange(nbt)[None, None, :]).astype(jnp.float32)

@@ -58,12 +58,46 @@ def _expand_chain_neighbourhood(db: FlatDB, anchor_index: int, anchor_chain: str
     return idxs
 
 
+# Assignment-path enumeration bound. The reference enumerates the raw
+# cartesian product of per-query-domain hit columns
+# (dbsearch_fulllength.py:95-180) — exponential in the domain count with a
+# dense hit matrix. Above this many raw paths the enumeration switches to a
+# score-ranked beam (kept paths maximise the sum of kept pair scores), which
+# bounds both time and output size; a warning notes the truncation.
+MAX_ASSIGNMENT_PATHS = int(os.environ.get("MERIZO_MDA_MAX_PATHS", "100000"))
+
+
+def _beam_paths(hd_indices: list[list[int]], mtx: np.ndarray, beam: int):
+    """Top-`beam` injective assignment paths by total pair score.
+
+    Expands one query domain at a time, keeping the `beam` highest-scoring
+    distinct partial assignments — every kept prefix extends only to columns
+    not already used, so emitted paths are injective by construction."""
+    paths = [((), 0.0)]
+    for qdi, cols in enumerate(hd_indices):
+        nxt = []
+        for path, score in paths:
+            used = set(path)
+            for j in cols:
+                if j not in used:
+                    nxt.append((path + (j,), score + float(mtx[qdi, j])))
+        nxt.sort(key=lambda p: -p[1])
+        paths = nxt[:beam]
+        if not paths:
+            return []
+    return [list(p) for p, _ in paths]
+
+
 def _submatrix_to_hits(mtx: np.ndarray, qc: str, hc: str, qds: list[str], hds: list[dict]):
     """Enumerate valid query->hit domain assignments for one hit chain
     (parity: tmalign_submatrix_to_hits :95-180).
 
     match categories: 0 bag-of-domains; 1 ordered with gaps; 2 ordered,
-    end gaps only; 3 exact MDA match."""
+    end gaps only; 3 exact MDA match.
+
+    The raw product is capped at MAX_ASSIGNMENT_PATHS: denser matrices fall
+    back to a score-ranked beam (see _beam_paths) instead of the reference's
+    unbounded cartesian enumeration."""
     result = []
     nqd, nhd = mtx.shape
     if np.where(~mtx.any(axis=1))[0].size > 0:
@@ -76,7 +110,20 @@ def _submatrix_to_hits(mtx: np.ndarray, qc: str, hc: str, qds: list[str], hds: l
     for i, j in zip(nz_rows, nz_cols):
         hd_indices[i].append(int(j))
 
-    for path in product(*hd_indices):
+    npaths = 1
+    for cols in hd_indices:
+        npaths *= len(cols)
+    if npaths > MAX_ASSIGNMENT_PATHS:
+        logger.warning(
+            "Query chain %s vs hit chain %s: %d raw assignment paths exceed "
+            "the %d cap; keeping the %d best-scoring assignments "
+            "(MERIZO_MDA_MAX_PATHS raises the cap).",
+            qc, hc, npaths, MAX_ASSIGNMENT_PATHS, MAX_ASSIGNMENT_PATHS)
+        paths = _beam_paths(hd_indices, mtx, MAX_ASSIGNMENT_PATHS)
+    else:
+        paths = product(*hd_indices)
+
+    for path in paths:
         path = list(path)
         if len(set(path)) != nqd:
             continue

@@ -60,6 +60,41 @@ def test_paths_cannot_reuse_a_hit_domain():
     assert _cat(np.array([[0.9, 0.0], [0.8, 0.0]])) == []
 
 
+def test_dense_matrix_enumeration_is_bounded(monkeypatch):
+    """A dense hit matrix whose raw cartesian product would explode
+    (12^8 ~ 4.3e8 paths) must fall back to the score-ranked beam: bounded
+    output that still contains the best-scoring (here: diagonal, exact-MDA)
+    assignment."""
+    nqd, nhd = 8, 12
+    rng = np.random.default_rng(7)
+    mtx = rng.uniform(0.5, 0.7, size=(nqd, nhd))
+    for i in range(nqd):
+        mtx[i, i] = 0.95  # the diagonal assignment dominates
+    monkeypatch.setattr(md, "MAX_ASSIGNMENT_PATHS", 2000)
+    res = _cat(mtx)
+    assert 0 < len(res) <= 2000
+    for r in res:
+        cols = [f.split(":")[1] for f in r[5].split(",")]
+        assert len(set(cols)) == nqd  # injective assignments only
+    # the dominant diagonal path survives the beam, scored best-first
+    top_cols = [f.split(":")[1] for f in res[0][5].split(",")]
+    assert top_cols == [f"h{j:02d}" for j in range(nqd)]
+    # diagonal of a wider chain = ordered consecutive prefix: category 2
+    assert res[0][4] == 2
+
+
+def test_beam_paths_injective_and_ranked():
+    mtx = np.array([[0.9, 0.2, 0.1],
+                    [0.8, 0.7, 0.1],
+                    [0.1, 0.2, 0.6]])
+    hd = [[0, 1, 2]] * 3
+    paths = md._beam_paths(hd, mtx, beam=4)
+    assert all(len(set(p)) == 3 for p in paths)
+    scores = [sum(mtx[i, j] for i, j in enumerate(p)) for p in paths]
+    assert scores == sorted(scores, reverse=True)
+    assert paths[0] == [0, 1, 2]
+
+
 @pytest.fixture()
 def chain_db(tmp_path, rng):
     """9-entry DB ordered by chain: chainX (3 domains), chainY (2), single Z."""
