@@ -48,6 +48,31 @@ from ..ops import pallas_scan
 logger = logging.getLogger(__name__)
 
 
+def _np_dedup_topk(pv: np.ndarray, pi: np.ndarray, k: int):
+    """Host-side top-k by score among unique ids (stream-IVF merge).
+
+    pv [Q, M] f32, pi [Q, M] i32 original row ids (-1 invalid). Keeps the
+    highest-scored copy of each id (duplicates from multi-assigned IVF
+    layouts score identically). M is a few hundred, Q a few hundred — the
+    per-row numpy pass is microseconds."""
+    qn = pv.shape[0]
+    order = np.argsort(-pv, axis=1, kind="stable")
+    sv = np.take_along_axis(pv, order, 1)
+    si = np.take_along_axis(pi, order, 1)
+    out_v = np.full((qn, k), -np.inf, np.float32)
+    out_i = np.full((qn, k), -1, np.int32)
+    for r in range(qn):
+        _, first = np.unique(si[r], return_index=True)
+        keep = np.zeros(si.shape[1], bool)
+        keep[first] = True
+        keep &= si[r] >= 0
+        vv, ii = sv[r][keep], si[r][keep]
+        m = min(k, len(vv))
+        out_v[r, :m] = vv[:m]
+        out_i[r, :m] = ii[:m]
+    return out_v, out_i
+
+
 def _normalize_rows(x: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(x, axis=1, keepdims=True)
     return (x / np.maximum(n, 1e-12)).astype(x.dtype)
@@ -245,7 +270,10 @@ class SearchEngine:
                 if "fingerprint" in z and np.array_equal(z["fingerprint"], fp):
                     ivf = {"centroids": z["centroids"], "perm": z["perm"],
                            "cluster_rows": int(z["cluster_rows"]),
-                           "nlist": int(z["centroids"].shape[0])}
+                           "nlist": int(z["centroids"].shape[0]),
+                           # pre-multi-assignment caches hold duplicate-free
+                           # layouts: dedup stays off for them
+                           "dup": bool(z["dup"]) if "dup" in z else False}
                     logger.info("IVF loaded from %s", cache)
                 else:
                     logger.warning("IVF cache %s is stale (database changed "
@@ -258,7 +286,7 @@ class SearchEngine:
                         np.savez(cache, centroids=ivf["centroids"],
                                  perm=ivf["perm"],
                                  cluster_rows=ivf["cluster_rows"],
-                                 fingerprint=fp)
+                                 dup=ivf["dup"], fingerprint=fp)
                     except OSError as e:
                         logger.warning("could not cache IVF build: %s", e)
             if self.mesh is not None and ivf["nlist"] % self.ndev:
@@ -308,7 +336,8 @@ class SearchEngine:
                     lambda idx: scale_cache[idx[0].indices(npad)[0]])
             self._dlen = (jax.device_put(lp, one_sh) if self.mesh is not None
                           else jax.device_put(lp))
-            self._ivf = {"centroids": cent_put, "perm": perm_put}
+            self._ivf = {"centroids": cent_put, "perm": perm_put,
+                         "dup": bool(ivf.get("dup", False))}
             self.ivf_nlist = int(ivf["centroids"].shape[0])  # build may clamp
             self._n_valid = self.db.size
             self._chunk_eff = self.chunk
@@ -437,11 +466,12 @@ class SearchEngine:
                 nprobe = min(self.ivf_nprobe, self.ivf_nlist)
                 interp = jax.default_backend() != "tpu"
                 key = ("ivf", k_eff, nprobe, use_len, float(mincov), interp,
-                       self.quantized)
+                       self.quantized, self._ivf["dup"])
                 if key not in self._mesh_fns:
                     self._mesh_fns[key] = ivf_mod.build_mesh_ivf_search(
                         self.mesh, k_eff, nprobe, use_len, float(mincov),
-                        interpret=interp, quantized=self.quantized)
+                        interpret=interp, quantized=self.quantized,
+                        dedup=self._ivf["dup"])
                 qf = jnp.asarray(q)  # f32 drives the centroid probe
                 if self.quantized:
                     q8_np, qs = pallas_scan.quantize_rows(q)
@@ -492,7 +522,8 @@ class SearchEngine:
                     tlen=self._dlen, qlen=jnp.asarray(qlen),
                     mincov=float(mincov), use_len=use_len,
                     interpret=jax.default_backend() != "tpu",
-                    scales=self._dscale if self.quantized else None, q8=qd8)
+                    scales=self._dscale if self.quantized else None, q8=qd8,
+                    dedup=self._ivf["dup"])
                 if self.quantized:
                     vals = vals * jnp.asarray(qs)[:, None]
             elif self._fused and self.quantized:
@@ -711,7 +742,11 @@ class SearchEngine:
         for item in _ordered_prefetch(range(0, len(union), cl_per_group),
                                       prepare):
             nb, npad, blk, tlm, rs, perm_sl = item
-            kk = min(k, nb)
+            # with duplicates in the layout a group's top-k can hold up to
+            # DUP_PREF + 1 copies of one row; inflate so the post-dedup
+            # merge still has k unique ids per group (mirrors the device
+            # IVF path's ksel)
+            kk = min(k * (ivf_mod.DUP_PREF + 1) if siv.get("dup") else k, nb)
             if self.mesh is not None:
                 key = ("sivf", kk, fused, quant)
                 if key not in self._mesh_fns:
@@ -759,8 +794,16 @@ class SearchEngine:
                        for v in partial_vals])
         pi = np.stack([np.pad(i, ((0, 0), (0, kk - i.shape[1])),
                               constant_values=-1) for i in partial_idxs])
-        vals, idxs = topk_ops.merge_partials(jnp.asarray(pv), jnp.asarray(pi),
-                                             min(k, staged_rows))
+        if siv.get("dup"):
+            # multi-assigned rows (expand > 0 sidecars) can win in several
+            # staged groups with identical scores: dedup by original id
+            vals, idxs = _np_dedup_topk(
+                pv.transpose(1, 0, 2).reshape(q.shape[0], -1),
+                pi.transpose(1, 0, 2).reshape(q.shape[0], -1),
+                min(k, staged_rows))
+        else:
+            vals, idxs = topk_ops.merge_partials(
+                jnp.asarray(pv), jnp.asarray(pi), min(k, staged_rows))
         vals = np.asarray(vals, np.float32)
         idxs = np.asarray(idxs)
         if vals.shape[1] < k:  # fewer probed rows than k: pad like a miss

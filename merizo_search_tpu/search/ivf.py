@@ -40,6 +40,12 @@ logger = logging.getLogger(__name__)
 
 BLOCK = ps.BLOCK
 
+# preference depth for multi-assignment duplicates (build_ivf expand > 0):
+# a row lives in its primary cluster plus at most DUP_PREF duplicate slots,
+# so a deduplicating search pulls (DUP_PREF + 1) * k candidates to guarantee
+# k unique ids even if every copy of every winner was probed
+DUP_PREF = 4
+
 
 @partial(jax.jit, static_argnames=("iters",))
 def _lloyd(x, cent, iters):
@@ -65,16 +71,86 @@ def _pref_scores(rows, cent, npref):
     return jax.lax.top_k(s, npref)
 
 
+def _score_prefs(emb, cent, npref):
+    """Chunked top-npref (ids, scores) of every row vs `cent` (device)."""
+    n, d = emb.shape
+    pref = np.empty((n, npref), np.int32)
+    pscore = np.empty((n, npref), np.float32)
+    dcent = jnp.asarray(cent)
+    chunk = 1 << 18
+    for c0 in range(0, n, chunk):
+        sl = slice(c0, min(n, c0 + chunk))
+        rows = emb[sl]
+        pad = chunk - rows.shape[0]
+        if pad:
+            rows = np.concatenate([rows, np.zeros((pad, d), rows.dtype)])
+        ts, top = _pref_scores(jnp.asarray(rows), dcent, npref)
+        pref[sl] = np.asarray(top)[:sl.stop - sl.start]
+        pscore[sl] = np.asarray(ts)[:sl.stop - sl.start]
+    return pref, pscore
+
+
+@partial(jax.jit, static_argnames=("nlist",))
+def _segment_sums(rows, assign, nlist):
+    """Per-cluster row sums as a one-hot matmul (device, chunk-sized)."""
+    onehot = jax.nn.one_hot(assign, nlist, dtype=jnp.float32)     # [c, nlist]
+    return onehot.T @ rows, jnp.sum(onehot, axis=0)
+
+
+def refine_centroids(emb, assign: np.ndarray, nlist: int) -> np.ndarray:
+    """Centroids recomputed from the rows each cluster ACTUALLY holds.
+
+    The balanced assignment moves boundary rows away from their argmax
+    cluster, so the Lloyd centroids no longer describe cluster contents;
+    probing with them systematically under-ranks the clusters that received
+    spilled rows. Re-estimating each centroid as the normalised mean of its
+    assigned members re-aligns the probe ranking with the layout (recall
+    measured +2-4 points at equal nprobe on clustered data)."""
+    n, d = emb.shape
+    sums = np.zeros((nlist, d), np.float32)
+    counts = np.zeros((nlist,), np.float32)
+    chunk = 1 << 18
+    for c0 in range(0, n, chunk):
+        sl = slice(c0, min(n, c0 + chunk))
+        s, c = _segment_sums(jnp.asarray(np.ascontiguousarray(emb[sl],
+                                                              np.float32)),
+                             jnp.asarray(assign[sl]), nlist)
+        sums += np.asarray(s)
+        counts += np.asarray(c)
+    out = sums / np.maximum(counts, 1.0)[:, None]
+    out /= np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-9)
+    return out.astype(np.float32)
+
+
 def build_ivf(emb: np.ndarray, nlist: int, iters: int = 10,
               train_sample: int = 1 << 18, seed: int = 0,
-              multiple_of: int = 1) -> dict:
+              multiple_of: int = 1, expand: float = 0.25,
+              refine: bool = True) -> dict:
     """Build a balanced IVF over normalised embeddings [N, D].
 
     multiple_of: force nlist to a multiple (mesh sharding needs nlist % ndev
     == 0 so shard boundaries fall on cluster boundaries).
 
+    expand: fractional slack capacity per cluster used for MULTI-ASSIGNMENT.
+    Equal-size clusters are what make this IVF TPU-native, but forcing
+    boundary rows into their 2nd/3rd-choice cluster puts them where queries
+    probing their first choice never look — a structural recall ceiling
+    (~0.935 at 25% of the DB probed, IVF_CURVE r3). With expand > 0 each
+    cluster gets ceil(n*(1+expand)/nlist) slots; after the balanced primary
+    assignment the spare slots are filled with DUPLICATES of the
+    highest-affinity rows held elsewhere, so a probe of cluster c also sees
+    the boundary rows that spilled out of c. Search must then dedup by
+    original row id (ivf_search(dedup=True); the dict's "dup" flag says so).
+    Storage cost: (1+expand)x DB bytes. expand=0 recovers the exact
+    single-assignment layout.
+
+    refine: re-estimate centroids from actual cluster members after
+    balancing (see refine_centroids) — changes probe ranking only, layout
+    is unaffected.
+
     Returns {"centroids" [nlist,D] f32, "perm" [Npad] i64 (permuted row ->
-    original row, -1 for padding), "cluster_rows" C, "nlist"}.
+    original row, -1 for padding), "cluster_rows" C, "nlist", "expand",
+    "dup" bool (duplicates present; search with dedup=True)}.
     """
     n, d = emb.shape
     rng = np.random.default_rng(seed)
@@ -87,8 +163,8 @@ def build_ivf(emb: np.ndarray, nlist: int, iters: int = 10,
         nlist = cap
     if multiple_of > 1:
         nlist = max(multiple_of, (nlist // multiple_of) * multiple_of)
-    # cluster size: equal, block-aligned
-    c_rows = -(-n // nlist)
+    # cluster size: equal, block-aligned, with `expand` slack for duplicates
+    c_rows = -(-int(n * (1.0 + max(expand, 0.0))) // nlist)
     c_rows = -(-c_rows // BLOCK) * BLOCK
     npad = c_rows * nlist
 
@@ -106,19 +182,7 @@ def build_ivf(emb: np.ndarray, nlist: int, iters: int = 10,
     # the rest to their next preference. Rows exhausting all preferences
     # (rare) back-fill whatever clusters have room.
     NPREF = min(8, nlist)
-    pref = np.empty((n, NPREF), np.int32)
-    pscore = np.empty((n, NPREF), np.float32)
-    dcent = jnp.asarray(cent)
-    chunk = 1 << 18
-    for c0 in range(0, n, chunk):
-        sl = slice(c0, min(n, c0 + chunk))
-        rows = emb[sl]
-        pad = chunk - rows.shape[0]
-        if pad:
-            rows = np.concatenate([rows, np.zeros((pad, d), rows.dtype)])
-        ts, top = _pref_scores(jnp.asarray(rows), dcent, NPREF)
-        pref[sl] = np.asarray(top)[:sl.stop - sl.start]
-        pscore[sl] = np.asarray(ts)[:sl.stop - sl.start]
+    pref, pscore = _score_prefs(emb, cent, NPREF)
 
     rows = np.arange(n)
     rank = np.zeros(n, np.int32)
@@ -152,17 +216,50 @@ def build_ivf(emb: np.ndarray, nlist: int, iters: int = 10,
         assign[left] = room[:len(left)]
         logger.info("IVF: %d rows overflowed their %d preferred clusters",
                     len(left), NPREF)
+
+    if refine and nlist > 1:
+        cent = refine_centroids(emb, assign, nlist)
+
+    # multi-assignment: fill each cluster's spare slots with DUPLICATES of
+    # the highest-affinity rows assigned elsewhere (see docstring). Affinity
+    # is re-scored against the refined centroids so the duplicates patch the
+    # layout queries will actually probe.
+    dup_rows = np.zeros((0,), np.int64)
+    dup_cluster = np.zeros((0,), np.int64)
+    fill = np.bincount(assign, minlength=nlist)
+    spare = c_rows - fill
+    if expand > 0 and nlist > 1 and spare.sum() > 0:
+        ndup_pref = min(DUP_PREF, nlist)
+        pref2, ps2 = _score_prefs(emb, cent, ndup_pref)
+        cand = pref2 != assign[:, None].astype(np.int32)  # [n, ndup_pref]
+        cc = pref2[cand].astype(np.int64)
+        cs = ps2[cand]
+        cr = np.broadcast_to(rows[:, None], pref2.shape)[cand].astype(np.int64)
+        order = np.lexsort((-cs, cc))
+        scc = cc[order]
+        first = np.searchsorted(scc, np.arange(nlist), side="left")
+        ordinal = np.arange(len(scc)) - first[scc]
+        keep = ordinal < spare[scc]
+        dup_rows = cr[order][keep]
+        dup_cluster = scc[keep]
+        logger.info("IVF: %d duplicate rows fill the %.0f%% expansion slack",
+                    len(dup_rows), 100 * expand)
+
     # permuted layout: rows of cluster c at [c*c_rows, (c+1)*c_rows)
     perm = np.full(npad, -1, np.int64)
-    order2 = np.argsort(assign, kind="stable")
-    sa = assign[order2]
+    mem_cluster = np.concatenate([assign, dup_cluster])
+    mem_row = np.concatenate([rows.astype(np.int64), dup_rows])
+    order2 = np.argsort(mem_cluster, kind="stable")
+    sa = mem_cluster[order2]
     first = np.searchsorted(sa, np.arange(nlist), side="left")
-    ordinal = np.arange(n) - first[sa]
-    perm[sa * c_rows + ordinal] = order2
-    logger.info("IVF built: %d clusters x %d rows (%d padding rows)",
-                nlist, c_rows, npad - n)
+    ordinal = np.arange(len(sa)) - first[sa]
+    perm[sa * c_rows + ordinal] = mem_row[order2]
+    logger.info("IVF built: %d clusters x %d rows (%d duplicates, "
+                "%d padding rows)", nlist, c_rows, len(dup_rows),
+                npad - n - len(dup_rows))
     return {"centroids": cent, "perm": perm, "cluster_rows": c_rows,
-            "nlist": nlist}
+            "nlist": nlist, "expand": float(max(expand, 0.0)),
+            "dup": bool(len(dup_rows))}
 
 
 def permute_rows(emb, perm_slice: np.ndarray, dtype=np.float32) -> np.ndarray:
@@ -206,8 +303,30 @@ def _probe_blocks(q, centroids, nprobe, bpc, nlist_local=None, me=None):
                    constant_values=-1)
 
 
+def _dedup_topk(v, idx, k):
+    """Exact top-k by score among UNIQUE original row ids.
+
+    v [Q, M] f32 (any order), idx [Q, M] i32 original ids (-1 invalid).
+    Multi-assigned rows (build_ivf expand > 0) can be probed through both
+    their primary cluster and a duplicate slot with identical scores; this
+    keeps one copy per id. Two small joint sorts + an O(M^2) equality mask —
+    M is a few hundred, so the [Q, M, M] compare is ~tens of MB and fuses."""
+    m = v.shape[1]
+    idx = idx.astype(jnp.int32)
+    neg, sidx = jax.lax.sort((-v, idx), num_keys=1)      # descending by v
+    sv = -neg
+    later = np.tril(np.ones((m, m), bool), -1)           # [i, j]: j < i
+    dup = jnp.any((sidx[:, :, None] == sidx[:, None, :]) & later[None],
+                  axis=2) & (sidx >= 0)
+    sv = jnp.where(dup, -jnp.inf, sv)
+    neg2, sidx2 = jax.lax.sort((-sv, sidx), num_keys=1)
+    out_v = -neg2[:, :k]
+    out_i = jnp.where(jnp.isfinite(out_v), sidx2[:, :k], -1)
+    return out_v, out_i
+
+
 def _probe_and_select(q, db_perm, perm, bidx, k, tlen, qlen, mincov, use_len,
-                      interpret, scales=None):
+                      interpret, scales=None, dedup=False):
     """Gather the probed blocks, exact top-k of the probed candidates.
 
     scales: [Npad] f32 block-uniform dequant scales when db_perm is int8
@@ -264,16 +383,22 @@ def _probe_and_select(q, db_perm, perm, bidx, k, tlen, qlen, mincov, use_len,
         # padded columns carry sentinel scores, so map them to row -1
         ridx = jnp.pad(ridx, ((0, 0), (0, scores.shape[1] - ridx.shape[1])),
                        constant_values=-1)
-    v, sel = ps._topk_entries_capped(scores, k)
+    # with duplicates in the layout, pull (DUP_PREF + 1) * k candidates so
+    # the post-dedup top-k is still k deep even when every copy of every
+    # winner was probed (copies score identically)
+    ksel = min((DUP_PREF + 1) * k, scores.shape[1]) if dedup else k
+    v, sel = ps._topk_entries_capped(scores, ksel)
     pidx = jnp.take_along_axis(ridx, sel, axis=1)          # permuted rows
     idx = perm[jnp.clip(pidx, 0, len(perm) - 1)].astype(jnp.int32)
     idx = jnp.where(jnp.isfinite(v) & (pidx >= 0), idx, -1)
+    if dedup:
+        v, idx = _dedup_topk(v, idx, k)
     return v[:qn], idx[:qn]
 
 
 def build_mesh_ivf_search(mesh, k: int, nprobe: int, use_len: bool,
                           mincov: float, interpret: bool = False,
-                          quantized: bool = False):
+                          quantized: bool = False, dedup: bool = False):
     """Mesh-sharded IVF: clusters sharded over the mesh axis.
 
     Each device holds nlist/ndev contiguous clusters of the permuted DB.
@@ -307,9 +432,17 @@ def build_mesh_ivf_search(mesh, k: int, nprobe: int, use_len: bool,
         v, idx = _probe_and_select(q8 if quantized else q, db_shard,
                                    perm_shard, bidx, k,
                                    tl_shard, qlen, mincov, use_len, interpret,
-                                   scales=scale_shard if quantized else None)
+                                   scales=scale_shard if quantized else None,
+                                   dedup=dedup)
         av = jax.lax.all_gather(v, axis)
         ai = jax.lax.all_gather(idx, axis)
+        if dedup:
+            # duplicates can span shards (primary slab on one device, the
+            # expansion copy on another): dedup across the gathered partials
+            # rather than heap-merging them
+            vv = jnp.moveaxis(av, 0, 1).reshape(v.shape[0], -1)
+            ii = jnp.moveaxis(ai, 0, 1).reshape(v.shape[0], -1)
+            return _dedup_topk(vv, ii, k)
         return topk_ops.merge_partials(av, ai, k)
 
     fn = _shard_map_unchecked(
@@ -321,10 +454,11 @@ def build_mesh_ivf_search(mesh, k: int, nprobe: int, use_len: bool,
     return jax.jit(fn)
 
 
-@partial(jax.jit, static_argnames=("k", "nprobe", "use_len", "interpret"))
+@partial(jax.jit, static_argnames=("k", "nprobe", "use_len", "interpret",
+                                   "dedup"))
 def ivf_search(q, db_perm, centroids, perm, k, nprobe, tlen=None, qlen=None,
                mincov=0.0, use_len=False, interpret=False, scales=None,
-               q8=None):
+               q8=None, dedup=False):
     """Approximate top-k: probe nprobe clusters, exact top-k of the probed.
 
     q [Q,D] f32/bf16 (drives the centroid probe), db_perm [Npad,D]
@@ -335,6 +469,8 @@ def ivf_search(q, db_perm, centroids, perm, k, nprobe, tlen=None, qlen=None,
     (quantize_rows int8 queries) — the full-precision q still ranks the
     centroids, identically to the mesh path; values then need the caller's
     per-query rescale.
+    dedup=True is REQUIRED for layouts built with expand > 0 (the dict's
+    "dup" flag): multi-assigned rows are reported once.
     Returns (scores [Q,k] f32, ORIGINAL indices [Q,k] i32, -1 for misses).
     """
     nlist = centroids.shape[0]
@@ -342,7 +478,7 @@ def ivf_search(q, db_perm, centroids, perm, k, nprobe, tlen=None, qlen=None,
     bidx = _probe_blocks(q, centroids, nprobe, c_rows // BLOCK)
     return _probe_and_select(q8 if q8 is not None else q, db_perm, perm,
                              bidx, k, tlen, qlen, mincov,
-                             use_len, interpret, scales=scales)
+                             use_len, interpret, scales=scales, dedup=dedup)
 
 
 # -- disk-streaming IVF -------------------------------------------------------
@@ -368,7 +504,7 @@ def _disk_dtype(precision: str):
 def write_disk_ivf(emb, lengths: np.ndarray, nlist: int, path_prefix: str,
                    precision: str = "int8", iters: int = 10,
                    train_sample: int = 1 << 18, seed: int = 0,
-                   fingerprint=None) -> dict:
+                   fingerprint=None, expand: float = 0.25) -> dict:
     """Build an IVF and persist the cluster-contiguous layout as sidecars.
 
     emb: [N, D] NORMALISED embeddings (array or memmap — rows are read in
@@ -381,7 +517,7 @@ def write_disk_ivf(emb, lengths: np.ndarray, nlist: int, path_prefix: str,
                (so the scan's length mask excludes them)
     Returns the loaded dict (see load_disk_ivf)."""
     ivf = build_ivf(emb, nlist, iters=iters, train_sample=train_sample,
-                    seed=seed)
+                    seed=seed, expand=expand)
     perm, c_rows = ivf["perm"], ivf["cluster_rows"]
     npad, dim = len(perm), emb.shape[1]
     dt = _disk_dtype(precision)
@@ -425,6 +561,7 @@ def write_disk_ivf(emb, lengths: np.ndarray, nlist: int, path_prefix: str,
         os.replace(path_prefix + n + tmp, path_prefix + n)
     np.savez(path_prefix + ".npz" + tmp, centroids=ivf["centroids"],
              cluster_rows=c_rows, precision=precision, npad=npad, dim=dim,
+             dup=ivf["dup"],
              fingerprint=np.asarray(fingerprint if fingerprint is not None
                                     else [], np.int64))
     # np.savez appends .npz to unknown suffixes: normalise the tmp name
@@ -444,6 +581,7 @@ def load_disk_ivf(path_prefix: str) -> dict:
     npad, dim = int(z["npad"]), int(z["dim"])
     return {
         "fingerprint": z["fingerprint"] if "fingerprint" in z else None,
+        "dup": bool(z["dup"]) if "dup" in z else False,
         "centroids": z["centroids"],
         "cluster_rows": int(z["cluster_rows"]),
         "nlist": int(z["centroids"].shape[0]),

@@ -28,7 +28,7 @@ def mixture():
 
 def test_build_is_balanced(mixture, rng):
     emb, _ = mixture
-    ivf = build_ivf(emb, nlist=64, seed=1)
+    ivf = build_ivf(emb, nlist=64, seed=1, expand=0.0)
     perm = ivf["perm"]
     c = ivf["cluster_rows"]
     assert len(perm) == 64 * c
@@ -36,12 +36,32 @@ def test_build_is_balanced(mixture, rng):
     valid = perm[perm >= 0]
     assert len(valid) == len(emb)
     assert len(np.unique(valid)) == len(emb)  # a permutation: no dup/loss
+    assert not ivf["dup"]
+
+
+def test_build_multi_assignment(mixture):
+    emb, _ = mixture
+    ivf = build_ivf(emb, nlist=64, seed=1, expand=0.25)
+    perm = ivf["perm"]
+    c = ivf["cluster_rows"]
+    assert len(perm) == 64 * c
+    valid = perm[perm >= 0]
+    # every row present at least once; slack filled with duplicates
+    assert len(np.unique(valid)) == len(emb)
+    assert ivf["dup"] and len(valid) > len(emb)
+    assert len(valid) <= 64 * c
+    # a duplicate never lands in its own primary cluster (same row twice in
+    # one cluster would waste a slot): per cluster, members are unique
+    for cl in range(64):
+        rows = perm[cl * c:(cl + 1) * c]
+        rows = rows[rows >= 0]
+        assert len(np.unique(rows)) == len(rows)
 
 
 def test_recall_and_exactness(mixture):
     emb, q = mixture
     K = 10
-    ivf = build_ivf(emb, nlist=64, seed=1)
+    ivf = build_ivf(emb, nlist=64, seed=1, expand=0.0)
     dbp = permute_db(emb, ivf)
     ref = np.argsort(-(q @ emb.T), axis=1)[:, :K]
     args = (jnp.asarray(q), jnp.asarray(dbp), jnp.asarray(ivf["centroids"]),
@@ -53,6 +73,50 @@ def test_recall_and_exactness(mixture):
     # full probe == exact flat search
     v, i = ivf_search(*args, K, 64, interpret=True)
     np.testing.assert_array_equal(np.asarray(i), ref)
+
+
+def test_dedup_full_probe_exact(mixture):
+    """Multi-assigned layout at full probe: dedup'd results equal the flat
+    scan as a SET with no id repeated (tie order may differ)."""
+    emb, q = mixture
+    K = 10
+    ivf = build_ivf(emb, nlist=64, seed=1, expand=0.25)
+    assert ivf["dup"]
+    dbp = permute_db(emb, ivf)
+    s = q @ emb.T
+    ref_i = np.argsort(-s, axis=1)[:, :K]
+    ref_v = np.take_along_axis(s, ref_i, axis=1)
+    v, i = ivf_search(jnp.asarray(q), jnp.asarray(dbp),
+                      jnp.asarray(ivf["centroids"]), jnp.asarray(ivf["perm"]),
+                      K, 64, interpret=True, dedup=True)
+    v, i = np.asarray(v), np.asarray(i)
+    for r in range(len(q)):
+        assert len(set(i[r])) == K  # no duplicate ids survive
+        assert set(i[r]) == set(ref_i[r])
+        np.testing.assert_allclose(np.sort(v[r]), np.sort(ref_v[r]),
+                                   rtol=1e-5)
+
+
+def test_multi_assignment_improves_recall(mixture):
+    """The point of expand>0: strictly better (or equal) recall at equal
+    nprobe on clustered data."""
+    emb, q = mixture
+    K = 10
+    ref = np.argsort(-(q @ emb.T), axis=1)[:, :K]
+
+    def recall(ivf, dedup, nprobe=4):
+        dbp = permute_db(emb, ivf)
+        _, i = ivf_search(jnp.asarray(q), jnp.asarray(dbp),
+                          jnp.asarray(ivf["centroids"]),
+                          jnp.asarray(ivf["perm"]), K, nprobe,
+                          interpret=True, dedup=dedup)
+        return np.mean([len(set(np.asarray(i)[r]) & set(ref[r])) / K
+                        for r in range(len(q))])
+
+    r0 = recall(build_ivf(emb, nlist=64, seed=1, expand=0.0, refine=False),
+                dedup=False)
+    r1 = recall(build_ivf(emb, nlist=64, seed=1, expand=0.25), dedup=True)
+    assert r1 >= r0, f"expand+refine recall {r1} < baseline {r0}"
 
 
 def test_mincov_filter(mixture, rng):
