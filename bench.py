@@ -11,6 +11,9 @@ reported, inside the same JSON line under "configs":
   createdb_embed  config 4 — Foldclass embedding throughput (structs/s)
   ted_stream      config 5 — larger-than-HBM streaming scan over an
                   on-disk int8-sidecar DB (host-read-bound; roofline stated)
+  easy_search_e2e config 6 — whole-pipeline easy-search (segment -> embed ->
+                  scan -> TM-align -> writers) s/structure on the reference
+                  example PDBs vs a CATH-toy-scale DB (BASELINE rows 1-3)
 
 Speed-of-light accounting for config 2 (v5e: 819 GB/s HBM, ~197 TFLOP/s
 bf16, ~394 TOP/s int8): at Q=256 the bf16 scan is MXU-compute-bound
@@ -98,6 +101,22 @@ def tpu_benchmarks(configs):
 
     t_read = bench(read_probe, db, rep=5, inner=8)
     read_gbps = DB_N * DIM * 2 / t_read / 1e9
+    # Pallas grid-pipelined read probe (tools/perf_hbm.py): streams wide
+    # [tile, 1024] blocks HBM->VMEM with no compute. Measured 767 GB/s
+    # (93.7% of the 819 spec) vs the fused-reduce probe's ~624 — the reduce
+    # probe under-reports the DMA ceiling, so 'measured' takes the max.
+    try:
+        from perf_hbm import stream_probe
+
+        dbw = db.reshape(DB_N // 8, DIM * 8)
+
+        def pallas_read(i, x):
+            return jnp.sum(stream_probe(x, i.astype(jnp.float32), 4096))
+
+        t_pread = bench(pallas_read, dbw, rep=5, inner=8)
+        read_gbps = max(read_gbps, DB_N * DIM * 2 / t_pread / 1e9)
+    except Exception as e:  # keep the bench alive on probe regressions
+        print(f"# pallas read probe failed: {e}", file=sys.stderr)
 
     # ---- config 2: 16M flat scan, bf16 + int8 -----------------------------
     t_bf = bench(scan_fn, q0, db, rep=5, inner=8)
@@ -132,9 +151,11 @@ def tpu_benchmarks(configs):
         "int8_vs_bf16_qps": round(t_bf / t_i8, 2),
         "measured_hbm_read_GBps": round(read_gbps, 0),
         "hbm_probe_note": (
-            "pure fused multiply-reduce over the same DB, timed identically; "
-            "sol_fraction_vs_measured_read divides by this instead of the "
-            "819 GB/s spec, cancelling any harness calibration bias"
+            "max of two probes over the same DB, timed identically: a fused "
+            "multiply-reduce and a Pallas grid-pipelined stream (the latter "
+            "reaches ~94% of the 819 GB/s spec, settling the achievable "
+            "ceiling); sol_fraction_vs_measured_read divides by this, "
+            "cancelling any harness calibration bias"
             + (" — PROBE EXCEEDS SPEC: absolute timings undercount, trust "
                "the vs_measured ratios" if read_gbps > 840 else "")),
         "bandwidth_bound_q64": {
@@ -373,6 +394,77 @@ def stream_benchmark(configs):
           f"{N_QUERIES/t_local:.0f})", file=sys.stderr)
 
 
+def easy_search_benchmark(configs):
+    """Config 6: whole-pipeline easy-search wall-clock (BASELINE rows 1-3).
+
+    segment -> embed -> flat scan -> TM-align rescore -> TSV writers, per
+    structure, on the reference's own example inputs (432 / 587 / 775
+    residues) against a CATH-toy-scale (66,944 x 128) pt-layout DB with
+    protein-like synthetic CA traces. Weights are the seeded random-init
+    substitutes (trained weights are stripped from the mirror), so hit
+    CONTENT is synthetic — but every pipeline stage does its real work:
+    mincos is disabled and k=10 so each domain TM-aligns 10 candidates,
+    matching the examples/README.md k=10 acceptance runs.
+
+    Reference anchors (unspecified hardware, README.md:181-183):
+    easy-search on the 432-res AF-Q96HM7 example took 22.74 s/structure.
+    """
+    import shutil
+
+    from merizo_search_tpu.db import codecs
+    from merizo_search_tpu import cli as mcli
+
+    root = os.path.join(CACHE_ROOT, "easydb")
+    prefix = os.path.join(root, "cathtoy")
+    n = 66944  # examples/database CATH toy slice is 66,943 rows
+    if not os.path.exists(prefix + ".pt"):
+        os.makedirs(root, exist_ok=True)
+        rng = np.random.default_rng(7)
+        embs = rng.standard_normal((n, DIM), dtype=np.float32)
+        embs /= np.linalg.norm(embs, axis=1, keepdims=True)
+        entries = []
+        for i in range(n):
+            ln = int(rng.integers(60, 300))
+            ca = np.cumsum(rng.standard_normal((ln, 3)) * 2.2,
+                           axis=0).astype(np.float32)
+            entries.append((f"cath{i:06d}", ca, "A" * ln))
+        codecs.write_pt_db(prefix, embs, entries)
+
+    ex = "/root/reference/examples"
+    inputs = [("AF-Q96HM7-F1-model_v4.pdb", 432),
+              ("3w5h.pdb", 587),
+              ("AF-Q96PD2-F1-model_v4.pdb", 775)]
+    outdir = os.path.join(root, "out")
+    shutil.rmtree(outdir, ignore_errors=True)
+    os.makedirs(outdir, exist_ok=True)
+
+    def run_one(fname, tag):
+        mcli.main(["easy-search", os.path.join(ex, fname), prefix,
+                   os.path.join(outdir, tag), "-k", "10", "--mincos", "-1",
+                   "--merizo_output", outdir])
+
+    # warm pass: compiles (persistent-cached) + DB residency
+    run_one(inputs[0][0], "warm")
+    per = {}
+    for fname, nres in inputs:
+        t = min(_timed(lambda: run_one(fname, f"t{nres}")) for _ in range(2))
+        per[str(nres)] = round(t, 3)
+        print(f"# easy-search e2e {nres}res: {t:.2f} s/structure",
+              file=sys.stderr)
+    ref_432 = 22.74
+    configs["easy_search_e2e"] = {
+        "db_rows": n, "k": 10, "mincos": -1.0,
+        "seconds_per_structure": per,
+        "reference_seconds_432res": ref_432,
+        "speedup_vs_reference_432res": round(ref_432 / per["432"], 1),
+        "note": "full segment->embed->scan->TM-align->writers pipeline on "
+                "the reference example PDBs vs a 66,944-row synthetic "
+                "CATH-toy pt DB; seeded random-init weights (trained "
+                "weights stripped from the mirror), mincos disabled so "
+                "k=10 TM-aligns run per domain",
+    }
+
+
 def reference_cpu_qps():
     """The reference's dense scan (dbsearch.py:75-81) in torch on host CPU,
     timed on a subsample and scaled to the full DB size."""
@@ -530,6 +622,14 @@ def main():
     except Exception as e:
         configs["ted_stream"] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
         print(f"# stream bench failed: {e}", file=sys.stderr)
+    try:
+        if not tpu_ok:
+            raise RuntimeError("TPU backend unreachable (probe timed out)")
+        easy_search_benchmark(configs)
+    except Exception as e:
+        configs["easy_search_e2e"] = {
+            "error": f"{type(e).__name__}: {str(e)[:200]}"}
+        print(f"# easy-search e2e bench failed: {e}", file=sys.stderr)
     try:
         base = reference_cpu_qps()
     except Exception as e:

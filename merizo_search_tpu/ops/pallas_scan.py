@@ -498,7 +498,7 @@ def _gather_blockvec_f32(vec, ids):
 
 
 def _gather_chunking(kb: int, qp: int, d: int, itemsize: int,
-                     unroll: int) -> tuple[int, int]:
+                     unroll: int, nslots: int = 2) -> tuple[int, int]:
     """Column chunking for gather_block_scores_dma: (nchunks, chunk_width).
 
     One pallas_call's column count is bounded by the SMEM scalar-prefetch
@@ -512,7 +512,7 @@ def _gather_chunking(kb: int, qp: int, d: int, itemsize: int,
     means no chunking (kb fits one call)."""
     smem_cols = (512 * 1024 // (4 * qp)) // unroll * unroll
     vmem_cols = (64 * 1024 * 1024
-                 // (2 * BLOCK * d * itemsize)) // unroll * unroll
+                 // (nslots * BLOCK * d * itemsize)) // unroll * unroll
     cap = max(unroll, min(smem_cols, vmem_cols))
     if kb <= cap:
         return 1, kb
@@ -564,9 +564,13 @@ def gather_block_scores_dma(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
     restore -inf)."""
     qp, d = q.shape
     nb = db.shape[0] // BLOCK
-    UNROLL = 6  # copies issued per loop iteration (see kernel note)
+    # copies issued per loop iteration / scratch buffers (perf-tuning knobs;
+    # see kernel note). NSLOTS > 2 issues DMAs for that many queries ahead.
+    UNROLL = max(1, int(os.environ.get("MERIZO_GATHER_UNROLL", "6")))
+    NSLOTS = max(2, int(os.environ.get("MERIZO_GATHER_SLOTS", "2")))
     kb = bidx.shape[1]
-    nchunks, chunk = _gather_chunking(kb, qp, d, db.dtype.itemsize, UNROLL)
+    nchunks, chunk = _gather_chunking(kb, qp, d, db.dtype.itemsize, UNROLL,
+                                      NSLOTS)
     if nchunks > 1:
         kbp = nchunks * chunk
         bidx = jnp.pad(bidx, ((0, 0), (0, kbp - kb)), constant_values=-1)
@@ -628,13 +632,14 @@ def gather_block_scores_dma(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
 
         @pl.when(i == 0)
         def _():
-            issue(0, 0)
+            for j in range(min(NSLOTS - 1, qp)):
+                issue(j, j)
 
-        @pl.when(i + 1 < qp)
+        @pl.when(i + NSLOTS - 1 < qp)
         def _():
-            issue(i + 1, (i + 1) % 2)
+            issue(i + NSLOTS - 1, (i + NSLOTS - 1) % NSLOTS)
 
-        slot = i % 2
+        slot = i % NSLOTS
 
         def wait_body(jj, _):
             for u in range(UNROLL):
@@ -685,8 +690,8 @@ def gather_block_scores_dma(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
     side_args, side_scratch, side_semst = [], [], []
     if use_len:
         side_args.append(tlen2d)
-        side_scratch.append(pltpu.VMEM((2, 1, kb * BLOCK), jnp.float32))
-        side_semst.append(pltpu.SemaphoreType.DMA((2,)))
+        side_scratch.append(pltpu.VMEM((NSLOTS, 1, kb * BLOCK), jnp.float32))
+        side_semst.append(pltpu.SemaphoreType.DMA((NSLOTS,)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -696,9 +701,9 @@ def gather_block_scores_dma(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
                  + [pl.BlockSpec(memory_space=pltpu.ANY)] * (1 + n_side),
         out_specs=pl.BlockSpec((1, 1, kb * BLOCK), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((2, kb * BLOCK, d), db.dtype),
+        scratch_shapes=[pltpu.VMEM((NSLOTS, kb * BLOCK, d), db.dtype),
                         *side_scratch,
-                        pltpu.SemaphoreType.DMA((2,)),
+                        pltpu.SemaphoreType.DMA((NSLOTS,)),
                         *side_semst],
     )
     out = pl.pallas_call(
