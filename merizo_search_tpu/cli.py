@@ -116,6 +116,13 @@ def _add_search_flags(p: argparse.ArgumentParser):
                    help="IVF clusters probed per query.")
     p.add_argument("--nlist", type=int, default=0,
                    help="IVF cluster count (0 = ~sqrt(DB size)).")
+    p.add_argument("--mmap_cov_filter", action="store_true", default=False,
+                   help="Apply the -c/--mincov coverage filters on mmap "
+                        "databases too. The reference never implemented "
+                        "mincov on its faiss/mmap path (dbsearch.py:307-310 "
+                        "TODO) and the default replicates that for hit-set "
+                        "parity; this flag fixes it, making pt and mmap "
+                        "layouts return identical hit sets.")
 
 
 def _add_merizo_flags(p: argparse.ArgumentParser):
@@ -301,7 +308,8 @@ def _do_search(args, inputs, inputs_are_ca, pdb_chain, fields_default):
         mesh=_mesh(args.mesh), weights=args.weights,
         tmalign_backend=args.tmalign_backend, threads=max(args.threads, 0),
         precision=args.precision, search_index=args.search_index,
-        nprobe=args.nprobe, nlist=args.nlist)
+        nprobe=args.nprobe, nlist=args.nlist,
+        mmap_cov_filter=args.mmap_cov_filter)
 
     write_search_results(results, search_output, fields,
                          header=args.output_headers, metadata_json=args.metadata_json)

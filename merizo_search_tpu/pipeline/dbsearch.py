@@ -17,7 +17,10 @@ Filter parity (deliberately faithful to each reference path):
 - pt DBs: mincov length prefilter in-scan (dbsearch.py:76) and the
   len_ali >= t_len * mincov post-filter (dbsearch.py:165);
 - mmap DBs: no coverage filters (the reference's faiss path never implemented
-  them, dbsearch.py:307-310), mincos + mintm only.
+  them, dbsearch.py:307-310), mincos + mintm only. `mmap_cov_filter=True`
+  opts in to FIXING that reference gap: the engine's length channel applies
+  the same in-scan mincov mask and len_ali post-filter the pt path gets, so
+  both layouts return identical hit sets.
 """
 
 from __future__ import annotations
@@ -67,7 +70,8 @@ def run_dbsearch(inputs, db_name: str, topk: int = 1, fastmode: bool = False,
                  engine: SearchEngine | None = None,
                  tmalign_backend: str = "auto", threads: int = 0,
                  precision: str = "bf16", search_index: str = "flat",
-                 nprobe: int = 32, nlist: int = 0):
+                 nprobe: int = 32, nlist: int = 0,
+                 mmap_cov_filter: bool = False):
     """Search queries against a database.
 
     inputs: list of PDB paths, or (inputs_are_ca=True) of dicts with
@@ -95,7 +99,7 @@ def run_dbsearch(inputs, db_name: str, topk: int = 1, fastmode: bool = False,
                               dtype=dtype, index=search_index,
                               ivf_nlist=nlist, ivf_nprobe=nprobe)
     db = engine.db
-    use_cov_filters = db.kind == "pt"
+    use_cov_filters = db.kind == "pt" or mmap_cov_filter
 
     logger.info("embedding %d queries", len(queries))
     with profiling.phase("embed_queries"):

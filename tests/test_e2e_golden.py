@@ -111,3 +111,33 @@ def test_search_mode_hitset_golden(toy_setup, examples_dir):
     main(["search", os.path.join(examples_dir, "AF-Q96HM7-F1-model_v4.pdb"),
           db, out, str(root / "tmp2"), "-k", "3"])
     _check(out + "_search.tsv", "e2e_rawsearch.tsv")
+
+
+def test_mmap_cov_filter_matches_pt(toy_setup, examples_dir):
+    """--mmap_cov_filter fixes the reference's faiss-path gap (mincov never
+    implemented there, dbsearch.py:307-310): with the flag on, the mmap
+    layout applies the same in-scan mincov mask + len_ali post-filter as the
+    pt layout, so the two TSVs must be identical."""
+    root, db, dbmm = toy_setup
+    from merizo_search_tpu.cli import main
+
+    qry = os.path.join(examples_dir, "AF-Q96HM7-F1-model_v4.pdb")
+    out_pt = str(root / "out" / "cov_pt")
+    out_mm = str(root / "out" / "cov_mm")
+    main(["search", qry, db, out_pt, str(root / "tmp3"), "-k", "3"])
+    main(["search", qry, dbmm, out_mm, str(root / "tmp4"), "-k", "3",
+          "--mmap_cov_filter"])
+    with open(out_pt + "_search.tsv") as fh:
+        want = fh.read()
+    with open(out_mm + "_search.tsv") as fh:
+        got = fh.read()
+    assert got == want
+    # and without the flag the gap is preserved: same query self-hit is
+    # still found (superset check — the unfiltered path can only add hits)
+    out_nf = str(root / "out" / "cov_nf")
+    main(["search", qry, dbmm, out_nf, str(root / "tmp5"), "-k", "3"])
+    with open(out_nf + "_search.tsv") as fh:
+        nf_lines = fh.read().splitlines()
+    want_targets = {ln.split("\t")[2] for ln in want.splitlines() if ln}
+    nf_targets = {ln.split("\t")[2] for ln in nf_lines if ln}
+    assert want_targets <= nf_targets
