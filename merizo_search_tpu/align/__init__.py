@@ -32,5 +32,30 @@ def rescore_pairs(pairs: list[tuple], fast: bool = False,
         if backend == "native":
             raise RuntimeError("native tmalign backend unavailable "
                                "(g++ build failed?)")
-    from .tmalign import tmalign_pairs
+    from .tmalign import MAX_BUCKET, tmalign_pairs
+
+    # The batched TPU aligner pads pairs into static length buckets; chains
+    # past the largest bucket would be truncated (with a conservative
+    # renormalisation). Those pairs are routed to the full-length native
+    # backend instead when it is available — an explicit `backend="tpu"`
+    # only degrades to truncation when the C++ library cannot be built.
+    long_idx = [i for i, (q, t) in enumerate(pairs)
+                if len(q["coords"]) > MAX_BUCKET
+                or len(t["coords"]) > MAX_BUCKET]
+    if long_idx:
+        from . import native
+        if native.available():
+            short_idx = [i for i in range(len(pairs)) if i not in
+                         set(long_idx)]
+            results: list[dict | None] = [None] * len(pairs)
+            long_res = native.tmalign_pairs_native(
+                [pairs[i] for i in long_idx], fast=fast, nthreads=nthreads)
+            for i, r in zip(long_idx, long_res):
+                results[i] = r
+            if short_idx:
+                short_res = tmalign_pairs([pairs[i] for i in short_idx],
+                                          fast=fast)
+                for i, r in zip(short_idx, short_res):
+                    results[i] = r
+            return results
     return tmalign_pairs(pairs, fast=fast)

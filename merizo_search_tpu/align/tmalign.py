@@ -375,6 +375,11 @@ def _tmalign_batch(x, xm, y, ym, n_refine, n_tm_iter):
 
 _BUCKETS = (64, 128, 256, 384, 512, 768, 1024, 1536, 2048)
 
+# chains longer than the largest bucket are truncated by this backend;
+# the dispatcher (align/__init__.py rescore_pairs) routes such pairs to
+# the full-length native backend when it is available
+MAX_BUCKET = _BUCKETS[-1]
+
 
 def _bucket(n):
     for b in _BUCKETS:

@@ -103,3 +103,46 @@ def test_rescore_dispatcher(rng):
     s = {"coords": c, "seq": "A" * 80}
     r = rescore_pairs([(s, s)], backend="native")[0]
     assert r["qtm"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_long_chain_routed_to_native(rng, monkeypatch):
+    """Pairs past the TPU aligner's largest bucket (2048) must reach the
+    full-length native backend even under backend="tpu" — the TPU path
+    would truncate and renormalise (align/tmalign.py _align_bucket), which
+    underestimates the true score (VERDICT r3 item 6)."""
+    from merizo_search_tpu.align import tmalign as tpu_align
+
+    n = tpu_align.MAX_BUCKET + 200
+    c = _walk(rng, n)
+    s = {"coords": c, "seq": "A" * n}
+
+    called = {"tpu": 0}
+    real = tpu_align.tmalign_pairs
+
+    def spy(pairs, fast=False):
+        called["tpu"] += 1
+        return real(pairs, fast=fast)
+
+    monkeypatch.setattr(tpu_align, "tmalign_pairs", spy)
+    r = rescore_pairs([(s, s)], backend="tpu")[0]
+    # native full-length self-alignment is exactly 1.0; the truncated TPU
+    # path would renormalise to ~2048/2248 ~= 0.91
+    assert r["qtm"] == pytest.approx(1.0, abs=1e-4)
+    assert called["tpu"] == 0
+
+
+def test_long_chain_mixed_batch_order_preserved(rng):
+    """A batch mixing long (native-routed) and short (TPU-bucketed) pairs
+    returns results in input order."""
+    from merizo_search_tpu.align.tmalign import MAX_BUCKET
+
+    nl = MAX_BUCKET + 100
+    long_s = {"coords": _walk(rng, nl), "seq": "A" * nl}
+    short_c = _walk(rng, 90)
+    short_s = {"coords": short_c, "seq": "A" * 90}
+    res = rescore_pairs([(long_s, long_s), (short_s, short_s)],
+                        backend="tpu")
+    assert res[0]["qtm"] == pytest.approx(1.0, abs=1e-4)
+    assert res[1]["qtm"] == pytest.approx(1.0, abs=1e-4)
+    assert res[0]["len_ali"] == nl
+    assert res[1]["len_ali"] == 90
