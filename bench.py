@@ -367,11 +367,49 @@ def stream_benchmark(configs):
     qps = N_QUERIES / t
     scan_gbps = n * DIM / t / 1e9
     bytes_total = n * DIM
+
+    # device-side cost isolation (VERDICT r3 item 10): one stream
+    # superblock (stream_block rows), already HBM-resident, scanned with
+    # the same fused int8 kernel + per-superblock top-k the stream loop
+    # dispatches — the pure device leg, with the h2d/host-read legs (and
+    # the tunnel) out of the picture. The whole-stream device time is
+    # nsb x this; comparing it to the measured batch time shows how much
+    # of stream mode is staging, not scan.
+    import jax
+    from _bench_util import bench as _bench
+    from merizo_search_tpu.ops import pallas_scan as _ps
+
+    sb_rows = eng.stream_block
+    sb8 = jnp.asarray(
+        np.random.default_rng(2).integers(-127, 128, (sb_rows, DIM),
+                                          dtype=np.int8))
+    sb_scales = jnp.full((sb_rows,), np.float32(1 / 40.0))
+    q8 = jnp.asarray(np.clip(q * 124, -124, 124).astype(np.int8))
+
+    def _dev_fn(i, qq, dd, ss):
+        v, idx = _ps.fused_topk(qq + (i % 3).astype(jnp.int8), dd,
+                                dd.shape[0], K, scales=ss)
+        return jnp.sum(v) + jnp.sum(idx[:, 0].astype(jnp.float32))
+
+    t_dev_sb = _bench(_dev_fn, q8, sb8, sb_scales, rep=3, inner=4)
+    nsb = -(-n // sb_rows)
+    t_dev_total = t_dev_sb * nsb
     # projected wall-clock with a local host link: replace the h2d leg with
     # 16 GB/s PCIe-class staging, keep the measured host read + device time
     t_local = max(bytes_total / (host_gbps * 1e9),
                   t - bytes_total / (h2d_gbps * 1e9)
                   + bytes_total / 16e9)
+    # TED-365M on a v5e-8 (VERDICT r3 item 10), from measured rooflines:
+    # 365M x 128 int8 = 46.7 GB. Sharded over 8 chips it is 5.8 GB/chip —
+    # it FITS in v5e HBM (16 GB/chip), so the production deployment is the
+    # device-resident mesh int8 scan, not disk streaming: per-chip leg =
+    # the measured device superblock rate at 45.6M rows + an O(Q*k) ICI
+    # all-gather merge (sub-ms). Streaming only applies single-chip, where
+    # it is host-read-bound (the int8 sidecar's sequential page-cache rate).
+    ted_rows = 365_000_000
+    dev_rows_per_s = sb_rows / t_dev_sb
+    t_v5e8 = (ted_rows / 8) / dev_rows_per_s
+    t_stream_1chip = ted_rows * DIM / (host_gbps * 1e9)
     configs["ted_stream"] = {
         "rows": n, "dtype": "int8 (on-disk sidecar)",
         "q_batch": N_QUERIES,
@@ -382,6 +420,27 @@ def stream_benchmark(configs):
         "h2d_GBps_measured": round(h2d_gbps, 3),
         "bottleneck": ("tunnel h2d" if h2d_gbps < host_gbps else "host read"),
         "projected_qps_local_host_16GBps_pcie": round(N_QUERIES / t_local, 1),
+        "device_leg_isolated": {
+            "superblock_rows": sb_rows,
+            "ms_per_superblock": round(t_dev_sb * 1e3, 2),
+            "whole_db_device_s": round(t_dev_total, 3),
+            "device_share_of_batch": round(t_dev_total / t, 3),
+            "note": "HBM-resident superblock scanned with the exact "
+                    "per-superblock kernel+top-k the stream loop dispatches "
+                    "(page-cache-hot host reads and h2d staging excluded): "
+                    "the device could absorb the whole DB in this time; the "
+                    "rest of the measured batch is staging.",
+        },
+        "projected_ted365m": {
+            "v5e8_mesh_resident_qps": round(N_QUERIES / t_v5e8, 1),
+            "v5e8_note": "46.7 GB int8 = 5.8 GB/chip on a v5e-8 — TED-365M "
+                         "fits in mesh HBM, so the deployment answer is the "
+                         "device-resident mesh scan (projected from the "
+                         "measured superblock device rate; excludes the "
+                         "sub-ms [Q,k] ICI merge), not streaming",
+            "single_chip_stream_qps_host_read_bound": round(
+                N_QUERIES / t_stream_1chip, 1),
+        },
         "note": "this chip sits behind a network tunnel; stream mode stages "
                 "every superblock host->HBM, so the tunnel's h2d bandwidth "
                 "binds here. On a TPU VM (local PCIe) the same path is "

@@ -155,7 +155,18 @@ def _bm_kernel(nv_ref, q_ref, db_ref, *rest, tile,
         # rescore), and bf16 tlen-masked -inf maxima are clamped likewise.
         bmt = jnp.where(blk_valid, jnp.maximum(bmt, np.float32(-3.4e38)),
                         np.float32(-3.4e38))
-        if bm_mode == "grouped":
+        if bm_mode == "split":
+            # CLEAN full-block write: BM is laid out [nsteps, Qp, nbt] with
+            # step i writing block (i, :, :) — every grid step stores a
+            # whole fresh block, so there is no revisit and no one-hot
+            # read-modify-write select (the "grouped" mode's RMW costs
+            # ~0.4 ms/batch of VPU at Q=256 int8 — ~12% of phase A).
+            # (A [8, Qp, nsteps/8, nbt] variant is un-lowerable: Mosaic
+            # requires the block's last two dims divisible by (8, 128) or
+            # equal to the array's.) Phase B consumes the step-major
+            # layout natively (_select_blocks), paying no relayout either.
+            bm_ref[0, j * qt:(j + 1) * qt, :] = bmt
+        elif bm_mode == "grouped":
             # BM is written natively as [Qp, nsteps, nbt] so phase B's
             # one-hot slab einsum consumes it with NO relayout (the
             # contraction dim s sits on sublanes already — XLA's relayout
@@ -193,9 +204,11 @@ def _bm_kernel(nv_ref, q_ref, db_ref, *rest, tile,
             col == 0, contrib, jnp.maximum(cur, contrib))
 
 
-@partial(jax.jit, static_argnames=("tile", "use_len", "interpret"))
+@partial(jax.jit, static_argnames=("tile", "use_len", "interpret",
+                                   "allow_split"))
 def blockmax_scan(q, db, n_valid, tlen, qcap, tile=DEFAULT_TILE,
-                  use_len=False, interpret=False, scales=None):
+                  use_len=False, interpret=False, scales=None,
+                  allow_split=False):
     """Phase A. q [Qp,D] (same dtype as db), db [Npad,D] with Npad % tile == 0,
     tlen [Npad] f32 target lengths, qcap [Qp] f32 = qlen/mincov.
     scales [Npad] f32: dequantisation scales for int8 DBs. REQUIRED to be
@@ -204,12 +217,18 @@ def blockmax_scan(q, db, n_valid, tlen, qcap, tile=DEFAULT_TILE,
     scores and dequantises only the block maxima with each block's first
     row's scale, so per-row scales would silently corrupt phase B's block
     selection.
-    Returns (BM [Qp, Npad/tile, tile/BLOCK], SBM [Qp, Npad/tile]) f32 block /
-    superblock maxima. BM is 3-D — superblock-major with the per-superblock
-    block maxima minor — and on the production path is WRITTEN in that
-    layout by the kernel, so phase B's one-hot slab gather contracts over
-    the superblock dim with no relayout (flatten with reshape if a flat
-    [Qp, NB] view is needed; that pays the relayout the 3-D layout avoids). Entries are always finite (clamped to a -3.4e38 floor) —
+    Returns (BM, SBM [Qp, Npad/tile]) f32 block / superblock maxima. BM is
+    3-D [Qp, NSB, NBT] — superblock-major with the per-superblock block
+    maxima minor — written in that layout by the kernel so phase B's
+    one-hot slab gather contracts over the superblock dim with no relayout
+    (flatten with reshape if a flat [Qp, NB] view is needed; that pays the
+    relayout the 3-D layout avoids). With allow_split=True (set by
+    fused_topk when the superblock select will run) multi-step grids
+    return BM step-major [NSB, Qp, NBT] instead — BM[s, q, b] — which
+    the kernel writes as one clean full block per step with NO
+    read-modify-write (the grouped mode's one-hot RMW costs ~0.4 ms/batch
+    at Q=256); _select_blocks consumes it natively (step_major=True).
+    Entries are always finite (clamped to a -3.4e38 floor) —
     selection-only values; exact -inf for masked rows is restored by the
     phase-C rescore. Row-validity (rows >= n_valid) is masked at block
     granularity only: the one block straddling n_valid may carry an inflated
@@ -233,10 +252,14 @@ def blockmax_scan(q, db, n_valid, tlen, qcap, tile=DEFAULT_TILE,
     while tile // nslab < BLOCK or (tile // nslab) % BLOCK:
         nslab //= 2
     nbt = tile // BLOCK
-    # BM layout (see _bm_kernel): "grouped" writes the einsum-ready 3D
-    # [Qp, nsteps, nbt] directly; "flat2d"/"per_step" are fallbacks for
-    # grids the grouped block can't tile (reshaped after the fact).
-    if nbt % 128 == 0 and nsteps % 8 == 0 and nsteps > 1:
+    # BM layout (see _bm_kernel): "split" writes clean full blocks in the
+    # 4D [8, Qp, nsteps/8, nbt] layout (production: no RMW, no relayout);
+    # "grouped" writes the einsum-ready 3D [Qp, nsteps, nbt] via a one-hot
+    # RMW; "flat2d"/"per_step" are fallbacks for grids the grouped block
+    # can't tile (reshaped after the fact).
+    if allow_split and nsteps > 1:
+        bm_mode = "split"
+    elif nbt % 128 == 0 and nsteps % 8 == 0 and nsteps > 1:
         bm_mode = "grouped"
     elif nbt % 128 == 0 or nsteps == 1:
         bm_mode = "flat2d"
@@ -264,7 +287,12 @@ def blockmax_scan(q, db, n_valid, tlen, qcap, tile=DEFAULT_TILE,
         in_specs.append(pl.BlockSpec((tile // BLOCK, BLOCK), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM))
         args.append(scales.reshape(npad // BLOCK, BLOCK))
-    if bm_mode == "grouped":
+    if bm_mode == "split":
+        bm_spec = pl.BlockSpec((1, qp, nbt), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+        bm_shape = jax.ShapeDtypeStruct((nsteps, qp, nbt), jnp.float32)
+        post = lambda bm: bm
+    elif bm_mode == "grouped":
         bm_spec = pl.BlockSpec((qp, 8, nbt), lambda i: (0, i // 8, 0),
                                memory_space=pltpu.VMEM)
         bm_shape = jax.ShapeDtypeStruct((qp, nsteps, nbt), jnp.float32)
@@ -294,7 +322,10 @@ def blockmax_scan(q, db, n_valid, tlen, qcap, tile=DEFAULT_TILE,
         interpret=interpret,
     )(*args)
     bm = post(bm)
-    return (bm[:qn], sbm[:qn]) if qp != qn else (bm, sbm)
+    if qp != qn:
+        bm = bm[:, :qn] if bm_mode == "split" else bm[:qn]
+        sbm = sbm[:qn]
+    return bm, sbm
 
 
 def quantize_rows(x: np.ndarray):
@@ -566,8 +597,8 @@ def gather_block_scores_dma(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
     nb = db.shape[0] // BLOCK
     # copies issued per loop iteration / scratch buffers (perf-tuning knobs;
     # see kernel note). NSLOTS > 2 issues DMAs for that many queries ahead.
-    UNROLL = max(1, int(os.environ.get("MERIZO_GATHER_UNROLL", "6")))
-    NSLOTS = max(2, int(os.environ.get("MERIZO_GATHER_SLOTS", "2")))
+    UNROLL = max(1, int(os.environ.get("MERIZO_GATHER_UNROLL", "8")))
+    NSLOTS = max(2, int(os.environ.get("MERIZO_GATHER_SLOTS", "4")))
     kb = bidx.shape[1]
     nchunks, chunk = _gather_chunking(kb, qp, d, db.dtype.itemsize, UNROLL,
                                       NSLOTS)
@@ -857,7 +888,8 @@ def gather_block_scores(q, db, tlen2d, qcap, bidx, n_valid, use_len=False,
     return out.reshape(qp, kb * BLOCK)
 
 
-def _select_blocks(bm, sbm, n_valid, k, use_sb, sb_scale=None):
+def _select_blocks(bm, sbm, n_valid, k, use_sb, sb_scale=None,
+                   step_major=False):
     """Phase B: exact top-block selection from the kernel's maxima.
 
     bm [Qp, NSB, NBT] f32 (blockmax_scan's native 3-D layout), sbm
@@ -899,8 +931,16 @@ def _select_blocks(bm, sbm, n_valid, k, use_sb, sb_scale=None):
     ~0.4 ms/batch relayout copy here at Q=256). BM is finite by
     construction (kernel clamps to -3.4e38) so no NaN guard is needed;
     dedup'd -1 rows match no one-hot column (slab of zeros) and are
-    floored so they can never displace a real candidate."""
-    qp, nsb, nbt = bm.shape
+    floored so they can never displace a real candidate.
+
+    step_major=True declares bm in blockmax_scan's split layout
+    [NSB, Qp, NBT] (BM[s, q, b]) — written by the kernel as one clean full
+    block per grid step with no RMW; the slab gather then contracts s as
+    the leading rhs dim ("qks,sqb->qkb"), still reading BM exactly once."""
+    if step_major:
+        nsb, qp, nbt = bm.shape
+    else:
+        qp, nsb, nbt = bm.shape
     nb = nsb * nbt
     straddle = jnp.minimum(jnp.asarray(n_valid, jnp.int32) // BLOCK, nb - 1)
     kb = min(k + 1, nb)
@@ -913,7 +953,8 @@ def _select_blocks(bm, sbm, n_valid, k, use_sb, sb_scale=None):
             [sbi, jnp.broadcast_to(ssb, (qp, 1))], axis=1)  # [Qp, ksb+1]
         onehot = (sbi[:, :, None] == np.arange(nsb)[None, None, :]
                   ).astype(jnp.float32)
-        cand_bm = jnp.einsum("qks,qsb->qkb", onehot, bm,
+        cand_bm = jnp.einsum("qks,sqb->qkb" if step_major else "qks,qsb->qkb",
+                             onehot, bm,
                              preferred_element_type=jnp.float32,
                              precision=ONEHOT_PRECISION)
         cand_bm = jnp.where(sbi[:, :, None] < 0, NEG_CAP, cand_bm)
@@ -936,6 +977,8 @@ def _select_blocks(bm, sbm, n_valid, k, use_sb, sb_scale=None):
             scale_sel = jnp.sum(picked * lo_oh, axis=2)  # [Qp, kb]
             scale_sel = jnp.where(bidx < 0, 1.0, scale_sel)
     else:
+        if step_major:  # flat select needs [Qp, NB]; pays the relayout
+            bm = bm.transpose(1, 0, 2)
         _, bidx = _topk_finite(bm.reshape(qp, nb), kb)   # [Qp, kb] block ids
         if sb_scale is not None:
             scale_sel = _gather_blockvec_f32(
@@ -1005,13 +1048,17 @@ def fused_topk(q, db, n_valid, k, tlen=None, qlen=None, mincov=0.0,
     use_sb = nsb_ >= 2 * min(k + 1, nsb_) and nsb_ >= 2
     bm, sbm = blockmax_scan(q, db, n_valid, tl, qcap, tile=tile,
                             use_len=use_len, interpret=interpret,
-                            scales=scales)  # [Qp, NSB, NBT], [Qp, NSB]
+                            scales=scales, allow_split=use_sb)
 
     nb = npad // BLOCK
     sb_scale = (None if scales is None
-                else scales.reshape(nb, BLOCK)[:, 0].reshape(bm.shape[1:]))
+                else scales.reshape(nb, BLOCK)[:, 0].reshape(nsb_,
+                                                             tile // BLOCK))
+    # blockmax_scan returns the step-major split BM exactly when allow_split
+    # was passed and the grid had >1 step (nsb_ >= 2 is implied by use_sb)
     bidx, scale_sel = _select_blocks(bm, sbm, n_valid, k, use_sb,
-                                     sb_scale=sb_scale)
+                                     sb_scale=sb_scale,
+                                     step_major=use_sb and nsb_ > 1)
 
     # Phase C: recompute masked scores of only the selected blocks (Pallas
     # gather at streaming bandwidth) and take the final exact top-k. The

@@ -310,3 +310,18 @@ def test_fused_topk_shape_edges(rng, n, q_n, k, nv_off):
         ids = iN[r][finite[r]]
         assert len(set(ids.tolist())) == len(ids)
     assert np.all(iN[~finite] == -1)
+
+
+def test_fused_topk_split_bm_layout(rng):
+    """Exercise the step-major split BM layout (production mode:
+    superblock select on, multi-step grid): results must
+    match brute force exactly, including the n_valid straddle block."""
+    N, D, Q, k = 1 << 17, 8, 3, 3  # nsteps=8, nbt=128 at tile=16384
+    db = rng.normal(size=(N, D)).astype(np.float32)
+    q = rng.normal(size=(Q, D)).astype(np.float32)
+    n_valid = N - 777
+    rv, ri = _brute(q.copy(), db, n_valid, k)
+    v, i = fused_topk(jnp.asarray(q), jnp.asarray(db), n_valid, k,
+                      tile=16384, interpret=True)
+    np.testing.assert_allclose(np.asarray(v), rv, rtol=1e-5, atol=1e-5)
+    assert np.array_equal(np.asarray(i), ri)

@@ -43,10 +43,11 @@ def main():
     nbt = TILE // BLOCK
     nb = N // BLOCK
 
-    # precompute phase A outputs once
-    bm, sbm = ps.blockmax_scan(q8, db8, N, tl, qcap, scales=scales)
+    # precompute phase A outputs once (production split/step-major layout)
+    bm, sbm = ps.blockmax_scan(q8, db8, N, tl, qcap, scales=scales,
+                               allow_split=True)
     bm = jax.block_until_ready(bm)
-    sb_scale = scales.reshape(nb, BLOCK)[:, 0].reshape(bm.shape[1:])
+    sb_scale = scales.reshape(nb, BLOCK)[:, 0].reshape(nsteps, nbt)
 
     use_sb = True
 
@@ -54,14 +55,15 @@ def main():
     def phase_b(i, bm, sbm):
         bidx, scale_sel = ps._select_blocks(
             bm + i.astype(jnp.float32) * 0.0, sbm, N, K, use_sb,
-            sb_scale=sb_scale)
+            sb_scale=sb_scale, step_major=True)
         return jnp.sum(bidx[:, :4].astype(jnp.float32)) + jnp.sum(
             scale_sel[:, :4])
     bench(phase_b, bm, sbm, rep=5, inner=16, tag="phase B (_select_blocks)")
 
     bidx, scale_sel = jax.jit(
         lambda bm, sbm: ps._select_blocks(bm, sbm, N, K, use_sb,
-                                          sb_scale=sb_scale))(bm, sbm)
+                                          sb_scale=sb_scale,
+                                          step_major=True))(bm, sbm)
     bidx = jax.block_until_ready(bidx)
     tl2d = tl.reshape(nb, BLOCK)
 
