@@ -444,11 +444,17 @@ def _topk_finite(x, k):
             v = jnp.pad(v, ((0, 0), (0, k - kk)), constant_values=NEG_CAP)
             i = jnp.pad(i, ((0, 0), (0, k - kk)))
         return v, i.astype(jnp.int32)
-    # adaptive subblock width: smallest power-of-two sub (>=8) that still
-    # leaves nsb > 2k subblocks (so the cover shrinks the row), widened while
-    # nsb > 16384 so the max-reduce output stays a meaningful reduction
+    # subblock width: the level-1 max reduce is one cheap full-width pass,
+    # so wider subblocks (straight to a narrow direct sort) beat a deep
+    # sub=8 cascade — measured r4 on the production shapes: sub=32 cuts
+    # [Q,26112]->101 from 0.30 to 0.24 ms and [Q,13056]->100 from 0.22 to
+    # 0.14 ms vs sub=8 (sub=64 loses again: the k*sub candidate sort grows
+    # faster than the nsb sort shrinks). Take the widest sub in {32,16,8}
+    # that divides w and leaves nsb >= max(2k, 256) subblocks (so every
+    # level still covers exactly and the reduce is meaningful).
+    floor_nsb = max(2 * k, 256)
     sub = 8
-    while w % (sub * 2) == 0 and w // (sub * 2) > 2 * k and w // sub > 16384:
+    while sub < 32 and w % (sub * 2) == 0 and w // (sub * 2) >= floor_nsb:
         sub *= 2
     nsb = w // sub
     if nsb <= 2 * k:  # no meaningful reduction left: sort directly

@@ -47,7 +47,7 @@ def main():
         qcap = jnp.full((qn,), jnp.float32(np.inf))
         print(f"# Q={qn} {dtype}: SoL {sol*1e3:.2f} ms")
 
-        for split in (False, True):
+        for split in () if kw.get("full_only") else (False, True):
             def fa(i, q, d, split=split):
                 qi = q + (i % 3).astype(q.dtype)
                 bm, _ = ps.blockmax_scan(qi, d, N, tl, qcap, scales=scales,
