@@ -45,8 +45,8 @@ def rescore_pairs(pairs: list[tuple], fast: bool = False,
     if long_idx:
         from . import native
         if native.available():
-            short_idx = [i for i in range(len(pairs)) if i not in
-                         set(long_idx)]
+            long_set = set(long_idx)
+            short_idx = [i for i in range(len(pairs)) if i not in long_set]
             results: list[dict | None] = [None] * len(pairs)
             long_res = native.tmalign_pairs_native(
                 [pairs[i] for i in long_idx], fast=fast, nthreads=nthreads)

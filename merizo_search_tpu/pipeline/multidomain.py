@@ -14,6 +14,7 @@ align.tmalign call on device.
 
 from __future__ import annotations
 
+import heapq
 import logging
 import os
 import re
@@ -75,14 +76,17 @@ def _beam_paths(hd_indices: list[list[int]], mtx: np.ndarray, beam: int):
     not already used, so emitted paths are injective by construction."""
     paths = [((), 0.0)]
     for qdi, cols in enumerate(hd_indices):
-        nxt = []
-        for path, score in paths:
-            used = set(path)
-            for j in cols:
-                if j not in used:
-                    nxt.append((path + (j,), score + float(mtx[qdi, j])))
-        nxt.sort(key=lambda p: -p[1])
-        paths = nxt[:beam]
+        # bounded selection: a heap of `beam` small (score, path_ref, col)
+        # triples instead of materialising and full-sorting every extended
+        # path copy (up to beam*nhd tuple copies per level)
+        def _extensions(paths=paths, qdi=qdi, cols=cols):
+            for pi, (path, score) in enumerate(paths):
+                used = set(path)
+                for j in cols:
+                    if j not in used:
+                        yield (score + float(mtx[qdi, j]), pi, j)
+        top = heapq.nlargest(beam, _extensions())
+        paths = [(paths[pi][0] + (j,), sc) for sc, pi, j in top]
         if not paths:
             return []
     return [list(p) for p, _ in paths]

@@ -47,15 +47,37 @@ BLOCK = ps.BLOCK
 DUP_PREF = 4
 
 
+def _seg_chunk_rows(nlist: int) -> int:
+    """Sub-chunk row count keeping a [cs, nlist] f32 block at ~64 MB."""
+    return max(256, min(8192, ((1 << 24) // max(nlist, 1)) // 256 * 256))
+
+
 @partial(jax.jit, static_argnames=("iters",))
 def _lloyd(x, cent, iters):
-    """Lloyd iterations on unit vectors (cosine k-means)."""
+    """Lloyd iterations on unit vectors (cosine k-means).
+
+    Row-chunked: the scoring and one-hot reduction run per [cs, nlist]
+    sub-chunk under a scan, so HBM holds one bounded score/one-hot block
+    instead of full [n, nlist] matrices (tens of GB at production nlist)."""
+    n, d = x.shape
+    nlist = cent.shape[0]
+    cs = _seg_chunk_rows(nlist)
+    npad = -(-n // cs) * cs
+    xc = jnp.pad(x, ((0, npad - n), (0, 0))).reshape(-1, cs, d)
+    vc = (jnp.arange(npad) < n).astype(x.dtype).reshape(-1, cs)
+
     def step(cent, _):
-        s = x @ cent.T                                   # [n, nlist]
-        a = jnp.argmax(s, axis=1)
-        onehot = jax.nn.one_hot(a, cent.shape[0], dtype=x.dtype)  # [n, nlist]
-        sums = onehot.T @ x                              # [nlist, D]
-        counts = jnp.sum(onehot, axis=0)[:, None]
+        def chunk(carry, xs):
+            sums, counts = carry
+            xb, vb = xs
+            s = xb @ cent.T                              # [cs, nlist]
+            a = jnp.argmax(s, axis=1)
+            oh = jax.nn.one_hot(a, nlist, dtype=x.dtype) * vb[:, None]
+            return (sums + oh.T @ xb, counts + jnp.sum(oh, axis=0)), None
+
+        init = (jnp.zeros((nlist, d), x.dtype), jnp.zeros((nlist,), x.dtype))
+        (sums, counts), _ = jax.lax.scan(chunk, init, (xc, vc))
+        counts = counts[:, None]
         new = jnp.where(counts > 0, sums / jnp.maximum(counts, 1), cent)
         new = new / jnp.maximum(jnp.linalg.norm(new, axis=1, keepdims=True), 1e-9)
         return new, None
@@ -90,13 +112,6 @@ def _score_prefs(emb, cent, npref):
     return pref, pscore
 
 
-@partial(jax.jit, static_argnames=("nlist",))
-def _segment_sums(rows, assign, nlist):
-    """Per-cluster row sums as a one-hot matmul (device, chunk-sized)."""
-    onehot = jax.nn.one_hot(assign, nlist, dtype=jnp.float32)     # [c, nlist]
-    return onehot.T @ rows, jnp.sum(onehot, axis=0)
-
-
 def refine_centroids(emb, assign: np.ndarray, nlist: int) -> np.ndarray:
     """Centroids recomputed from the rows each cluster ACTUALLY holds.
 
@@ -105,19 +120,27 @@ def refine_centroids(emb, assign: np.ndarray, nlist: int) -> np.ndarray:
     probing with them systematically under-ranks the clusters that received
     spilled rows. Re-estimating each centroid as the normalised mean of its
     assigned members re-aligns the probe ranking with the layout (recall
-    measured +2-4 points at equal nprobe on clustered data)."""
+    measured +2-4 points at equal nprobe on clustered data).
+
+    Host-side sort + prefix-sum segment reduction: per-cluster sums are
+    O(N*D) adds, whereas a dense [chunk, nlist] one-hot matmul would be
+    O(N*nlist*D) flops and tens of GB transient at production nlist."""
     n, d = emb.shape
-    sums = np.zeros((nlist, d), np.float32)
-    counts = np.zeros((nlist,), np.float32)
+    sums = np.zeros((nlist, d), np.float64)
+    counts = np.zeros((nlist,), np.int64)
     chunk = 1 << 18
     for c0 in range(0, n, chunk):
         sl = slice(c0, min(n, c0 + chunk))
-        s, c = _segment_sums(jnp.asarray(np.ascontiguousarray(emb[sl],
-                                                              np.float32)),
-                             jnp.asarray(assign[sl]), nlist)
-        sums += np.asarray(s)
-        counts += np.asarray(c)
-    out = sums / np.maximum(counts, 1.0)[:, None]
+        rows = np.ascontiguousarray(emb[sl], np.float32)
+        a = np.asarray(assign[sl])
+        cnt = np.bincount(a, minlength=nlist).astype(np.int64)
+        order = np.argsort(a, kind="stable")
+        cum = np.zeros((len(order) + 1, d), np.float64)
+        np.cumsum(rows[order], axis=0, dtype=np.float64, out=cum[1:])
+        ends = np.cumsum(cnt)
+        sums += cum[ends] - cum[ends - cnt]
+        counts += cnt
+    out = (sums / np.maximum(counts, 1)[:, None]).astype(np.float32)
     out /= np.maximum(np.linalg.norm(out, axis=1, keepdims=True), 1e-9)
     return out.astype(np.float32)
 
@@ -309,16 +332,25 @@ def _dedup_topk(v, idx, k):
     v [Q, M] f32 (any order), idx [Q, M] i32 original ids (-1 invalid).
     Multi-assigned rows (build_ivf expand > 0) can be probed through both
     their primary cluster and a duplicate slot with identical scores; this
-    keeps one copy per id. Two small joint sorts + an O(M^2) equality mask —
-    M is a few hundred, so the [Q, M, M] compare is ~tens of MB and fuses."""
-    m = v.shape[1]
+    keeps one copy per id. Duplicates are grouped by an id-major sort (score
+    descending within a group, so each group's FIRST element is its best
+    copy), killed with one adjacent compare, and re-sorted by score —
+    O(M log M), no [Q, M, M] all-pairs mask, so large -k / mesh-wide merges
+    (M = ndev*k or 5k) stay linear in memory. Always returns exactly k
+    columns (padded with -inf / -1 when fewer than k unique finite
+    candidates exist), matching the non-dedup path's [Q, k] contract."""
+    qn, m = v.shape
     idx = idx.astype(jnp.int32)
-    neg, sidx = jax.lax.sort((-v, idx), num_keys=1)      # descending by v
+    # (id asc, score desc) joint sort: copies of an id are adjacent, best
+    # copy first (-1 invalid entries carry -inf scores by construction)
+    sidx, neg = jax.lax.sort((idx, -v), num_keys=2)
     sv = -neg
-    later = np.tril(np.ones((m, m), bool), -1)           # [i, j]: j < i
-    dup = jnp.any((sidx[:, :, None] == sidx[:, None, :]) & later[None],
-                  axis=2) & (sidx >= 0)
-    sv = jnp.where(dup, -jnp.inf, sv)
+    first = jnp.concatenate(
+        [jnp.ones((qn, 1), bool), sidx[:, 1:] != sidx[:, :-1]], axis=1)
+    sv = jnp.where(first, sv, -jnp.inf)
+    if m < k:  # pad so the final slice is exactly k wide
+        sv = jnp.pad(sv, ((0, 0), (0, k - m)), constant_values=-jnp.inf)
+        sidx = jnp.pad(sidx, ((0, 0), (0, k - m)), constant_values=-1)
     neg2, sidx2 = jax.lax.sort((-sv, sidx), num_keys=1)
     out_v = -neg2[:, :k]
     out_i = jnp.where(jnp.isfinite(out_v), sidx2[:, :k], -1)
