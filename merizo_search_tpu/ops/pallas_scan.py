@@ -362,14 +362,16 @@ def quantize_blocks(x: np.ndarray, block: int = BLOCK):
     return qv, s
 
 
-# Precision for the one-hot gather matmuls. HIGH (bf16x3) is BIT-EXACT for
-# one-hot @ f32: the 3-term bf16 decomposition of an f32 operand covers its
-# full 24-bit mantissa exactly (8 bits per term, non-overlapping), the
-# one-hot side's 0.0/1.0 are exact in bf16, and the partial products are
-# accumulated in f32 — so each output is the selected value reconstructed
-# exactly (zeros contribute exact zeros). HIGHEST (6 passes) costs ~2x the
-# MXU work for no additional accuracy on this op class.
-ONEHOT_PRECISION = jax.lax.Precision.HIGH
+# Precision for the one-hot gather matmuls. MUST be HIGHEST: measured on a
+# v5e (tools/probe_onehot_precision.py), HIGH (bf16x3) splits each f32
+# operand into only TWO bf16 terms (~16 mantissa bits), so one-hot gathers
+# of f32 values lose the low ~8 bits (max rel err ~1.5e-5) and integer
+# gathers are exact only below ~2^16 — block ids at production per-device
+# DB sizes exceed that (45M rows -> nb ~ 3.6e5), which would return wrong
+# row ids silently. HIGHEST (bf16x6, 3-term split) is bit-exact for
+# one-hot @ f32 at every probed magnitude. The gathers run on [Q, k, ~128]
+# intermediates, so the extra MXU passes are negligible next to phase A.
+ONEHOT_PRECISION = jax.lax.Precision.HIGHEST
 
 SUB = 8  # minimum subblock width for the recursive cover select
 NEG_CAP = np.float32(-3.4e38)  # finite stand-in for -inf during selection
@@ -500,8 +502,8 @@ def _gather_int(src, sel):
 
     XLA's TPU gather runs a ~10 ns/element scalar loop (0.26 ms for a
     [256,100] gather); the MXU one-hot product is ~50x faster. Exact while
-    values < 2^24 (fp32 integer range) — selection ids and block ids are
-    far below that."""
+    values < 2^24 (fp32 integer range, guaranteed by ONEHOT_PRECISION =
+    HIGHEST) — block ids reach ~2^19 at production per-device DB sizes."""
     qn, w = src.shape
     onehot = (sel[:, :, None] == np.arange(w)[None, None, :]).astype(jnp.float32)
     out = jnp.einsum("qkw,qw->qk", onehot, src.astype(jnp.float32),

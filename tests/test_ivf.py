@@ -296,3 +296,22 @@ def test_engine_ivf_cache_invalidated_on_db_change(tmp_path, rng, mixture):
     ref = np.argsort(-(q[:2] @ emb[perm].T), axis=1)[:, :5]
     for r in range(2):
         assert set(i2[r].tolist()) == set(ref[r].tolist())
+
+
+def test_dedup_topk_pads_to_k():
+    """_dedup_topk returns exactly k columns even when the candidate pool
+    is narrower than k (or has fewer unique finite ids), matching the
+    non-dedup path's [Q, k] contract; big ids survive the joint sorts."""
+    from merizo_search_tpu.search.ivf import _dedup_topk
+    v = jnp.asarray(np.array([[3.0, 1.0, 3.0, 2.0],
+                              [5.0, -np.inf, 5.0, -np.inf]], np.float32))
+    idx = jnp.asarray(np.array([[7, 9, 7, 400000],
+                                [123456, -1, 123456, -1]], np.int32))
+    out_v, out_i = _dedup_topk(v, idx, 6)
+    assert out_v.shape == (2, 6) and out_i.shape == (2, 6)
+    np.testing.assert_array_equal(
+        np.asarray(out_i)[0], [7, 400000, 9, -1, -1, -1])
+    np.testing.assert_allclose(np.asarray(out_v)[0, :3], [3.0, 2.0, 1.0])
+    assert np.all(np.isneginf(np.asarray(out_v)[0, 3:]))
+    np.testing.assert_array_equal(np.asarray(out_i)[1, :1], [123456])
+    assert np.all(np.asarray(out_i)[1, 1:] == -1)
