@@ -156,7 +156,7 @@ def run_dbsearch(inputs, db_name: str, topk: int = 1, fastmode: bool = False,
             pairs = [(queries[qi], {"coords": db.coords(i), "seq": db.seq(i)})
                      for qi, _, _, i in cand]
             tms = rescore_pairs(pairs, fast=fastmode, backend=tmalign_backend,
-                                nthreads=max(threads, 0))
+                                nthreads=max(threads, 0), decision_tm=mintm)
     else:
         tms = []
 

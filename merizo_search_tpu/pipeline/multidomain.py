@@ -71,25 +71,61 @@ MAX_ASSIGNMENT_PATHS = int(os.environ.get("MERIZO_MDA_MAX_PATHS", "100000"))
 def _beam_paths(hd_indices: list[list[int]], mtx: np.ndarray, beam: int):
     """Top-`beam` injective assignment paths by total pair score.
 
-    Expands one query domain at a time, keeping the `beam` highest-scoring
-    distinct partial assignments — every kept prefix extends only to columns
-    not already used, so emitted paths are injective by construction."""
-    paths = [((), 0.0)]
-    for qdi, cols in enumerate(hd_indices):
-        # bounded selection: a heap of `beam` small (score, path_ref, col)
-        # triples instead of materialising and full-sorting every extended
-        # path copy (up to beam*nhd tuple copies per level)
-        def _extensions(paths=paths, qdi=qdi, cols=cols):
-            for pi, (path, score) in enumerate(paths):
-                used = set(path)
-                for j in cols:
-                    if j not in used:
-                        yield (score + float(mtx[qdi, j]), pi, j)
-        top = heapq.nlargest(beam, _extensions())
-        paths = [(paths[pi][0] + (j,), sc) for sc, pi, j in top]
-        if not paths:
-            return []
-    return [list(p) for p, _ in paths]
+    Delegates to the exact best-first enumeration (`_exact_top_paths`):
+    unlike a greedy level-by-level beam, the returned paths are provably
+    the global top-`beam`, so capping dense matrices changes only *how
+    many* assignments are reported, never which ones rank first."""
+    return _exact_top_paths(hd_indices, mtx, beam)
+
+
+def _exact_top_paths(hd_indices: list[list[int]], mtx: np.ndarray, beam: int):
+    """EXACT top-`beam` injective assignment paths by total pair score.
+
+    Lazy best-first search over partial assignments (one query domain per
+    tree level), ordered by f = g + h where g is the prefix score and
+    h[d] = sum over rows >= d of each row's best column score — an
+    optimistic (admissible) bound on any completion, since it ignores the
+    injectivity constraint. With an admissible bound, complete paths pop
+    off the frontier in exact descending true-score order, so the first
+    `beam` pops are the global top-`beam` assignments — the same ones the
+    exhaustive cartesian enumeration (reference dbsearch_fulllength.py:
+    95-180) would have ranked first (pinned by
+    tests/test_multidomain.py::test_beam_keeps_exhaustive_ranking).
+
+    A push cap bounds memory on adversarial near-tie matrices; past it the
+    frontier stops growing and remaining pops drain existing entries
+    (still injective, best-effort ranked, warned). Entries with equal f
+    tie-break on the path tuple, keeping the order deterministic."""
+    nqd = len(hd_indices)
+    h = [0.0] * (nqd + 1)
+    for i in range(nqd - 1, -1, -1):
+        h[i] = h[i + 1] + max((float(mtx[i, j]) for j in hd_indices[i]),
+                              default=0.0)
+    frontier: list[tuple[float, tuple[int, ...]]] = [(-h[0], ())]
+    out: list[list[int]] = []
+    pushes, push_cap = 0, max(64 * beam, 2_000_000)
+    capped = False
+    while frontier and len(out) < beam:
+        nf, path = heapq.heappop(frontier)
+        depth = len(path)
+        if depth == nqd:
+            out.append(list(path))
+            continue
+        if pushes >= push_cap:
+            if not capped:
+                logger.warning(
+                    "assignment-path search frontier hit the %d-push cap; "
+                    "remaining paths are best-effort ranked", push_cap)
+                capped = True
+            continue
+        g = -nf - h[depth]
+        used = set(path)
+        for j in hd_indices[depth]:
+            if j not in used:
+                g2 = g + float(mtx[depth, j])
+                heapq.heappush(frontier, (-(g2 + h[depth + 1]), path + (j,)))
+                pushes += 1
+    return out
 
 
 def _submatrix_to_hits(mtx: np.ndarray, qc: str, hc: str, qds: list[str], hds: list[dict]):
@@ -278,7 +314,7 @@ def multi_domain_search(queries, search_results, db_name: str,
             pairs = [(q, {"coords": e["coords"], "seq": e["seq"]})
                      for q in q_structs for e in entries]
             tms = rescore_pairs(pairs, fast=fastmode, backend=tmalign_backend,
-                                nthreads=max(threads, 0))
+                                nthreads=max(threads, 0), decision_tm=mintm)
             mtx = np.asarray([max(t["qtm"], t["ttm"]) for t in tms]).reshape(
                 len(qds), len(entries))
         mtx[mtx < mintm] = 0.0

@@ -95,6 +95,35 @@ def test_beam_paths_injective_and_ranked():
     assert paths[0] == [0, 1, 2]
 
 
+def test_beam_keeps_exhaustive_ranking():
+    """On dense matrices small enough to enumerate exhaustively, the beam
+    must keep exactly the assignments the exhaustive cartesian enumeration
+    (reference dbsearch_fulllength.py:95-180) would have ranked first by
+    total pair score — i.e. the beam fallback changes *when* enumeration
+    stops, never *which* top assignments are reported."""
+    from itertools import product, permutations
+
+    rng = np.random.default_rng(11)
+    for trial in range(8):
+        nqd, nhd = rng.integers(3, 6), rng.integers(4, 7)
+        mtx = rng.uniform(0.05, 1.0, size=(nqd, nhd))
+        hd = [list(range(nhd))] * nqd
+        # exhaustive: every injective path, ranked by total score
+        exhaustive = sorted(
+            (p for p in product(*hd) if len(set(p)) == nqd),
+            key=lambda p: -sum(mtx[i, j] for i, j in enumerate(p)))
+        for beam in (1, 5, 25):
+            got = md._beam_paths(hd, mtx, beam=beam)
+            want = [list(p) for p in exhaustive[:beam]]
+            # scores must match rank-for-rank (ties may permute paths)
+            gs = [sum(mtx[i, j] for i, j in enumerate(p)) for p in got]
+            ws = [sum(mtx[i, j] for i, j in enumerate(p)) for p in want]
+            np.testing.assert_allclose(gs, ws, rtol=1e-12)
+        # full-width beam reproduces the entire exhaustive ranking
+        full = md._beam_paths(hd, mtx, beam=len(exhaustive) + 10)
+        assert [tuple(p) for p in full] == [tuple(p) for p in exhaustive]
+
+
 @pytest.fixture()
 def chain_db(tmp_path, rng):
     """9-entry DB ordered by chain: chainX (3 domains), chainY (2), single Z."""

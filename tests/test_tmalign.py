@@ -134,3 +134,47 @@ def test_seq_identity_count_matches_loop():
             if 0 <= j < len(ts) and qs[xi] == ts[j]:
                 ref += 1
         assert seq_identity_count(qs, ts, ali) == ref
+
+
+def _fold(rng, n=60):
+    return np.cumsum(rng.normal(size=(n, 3)) * 1.5, axis=0).astype(np.float32)
+
+
+def test_near_threshold_recheck_routes_to_native(rng, monkeypatch):
+    """With backend='tpu' and decision_tm set, pairs whose batched TM lands
+    within NEAR_THRESHOLD_BAND of the threshold must be re-aligned with the
+    native backend; pairs far from the threshold keep the batched result."""
+    from merizo_search_tpu import align
+    from merizo_search_tpu.align import native
+
+    a, b = _fold(rng), _fold(rng)
+    pairs = [({"coords": a, "seq": "A" * len(a)},
+              {"coords": b, "seq": "A" * len(b)})] * 3
+
+    tpu_scores = [0.51, 0.90, 0.495]  # near, far, near (mintm=0.5)
+    calls = {"native": []}
+
+    def fake_tpu(pairs, fast=False):
+        return [{"len_ali": 10, "rmsd": 1.0, "seq_id": 0.5,
+                 "qtm": s, "ttm": s - 0.01} for s in tpu_scores[:len(pairs)]]
+
+    def fake_native(pairs, fast=False, nthreads=0):
+        calls["native"].append(len(pairs))
+        return [{"len_ali": 11, "rmsd": 0.9, "seq_id": 0.5,
+                 "qtm": 0.42, "ttm": 0.40}] * len(pairs)
+
+    monkeypatch.setattr(align.tmalign, "tmalign_pairs", fake_tpu)
+    monkeypatch.setattr(native, "available", lambda: True)
+    monkeypatch.setattr(native, "tmalign_pairs_native", fake_native)
+
+    res = align.rescore_pairs(pairs, backend="tpu", decision_tm=0.5)
+    assert calls["native"] == [2]          # only the two near-threshold pairs
+    assert res[0]["qtm"] == 0.42           # re-checked
+    assert res[1]["qtm"] == 0.90           # batched result kept
+    assert res[2]["qtm"] == 0.42           # re-checked
+
+    # no decision threshold -> no recheck at all
+    calls["native"].clear()
+    res = align.rescore_pairs(pairs, backend="tpu")
+    assert calls["native"] == []
+    assert [r["qtm"] for r in res] == tpu_scores
