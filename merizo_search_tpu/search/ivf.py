@@ -357,13 +357,62 @@ def _dedup_topk(v, idx, k):
     return out_v, out_i
 
 
+def _rerank_blocks(qf, db_hi, scores, bidx, perm, k, interpret):
+    """Exact re-rank: rescore the top-(k+1) scanned blocks in full precision.
+
+    The scan ranks candidates in the storage dtype (bf16/int8), whose
+    rounding noise — not probe misses — is what caps IVF recall (measured:
+    exact-rescore ceiling 0.990-0.998 where bf16 ranking plateaus at ~0.98
+    and int8 at ~0.95). This takes the scan's scores [Qp, KB*BLOCK] over
+    probed blocks `bidx` [Qp, KB], selects the top-(k+1) blocks per query by
+    block max (the scan-score analogue of the flat scan's phase-B cover),
+    re-gathers ONLY those blocks from the f32 sidecar `db_hi` [Npad, D] and
+    rescores them against the f32 query — so the final ranking is exact f32
+    over every block that could hold a storage-dtype top-k candidate.
+
+    Cost: ~(k+1) extra f32 block gathers per query (4 bytes/elem vs the
+    scan's 1-2), roughly doubling gather traffic at nprobe=16; the IVF curve
+    artifact states the measured qps cost. Returns rescored
+    (scores2 [Qp, (k+1+pad)*BLOCK], bidx2 [Qp, k+1+pad]) aligned like the
+    scan's outputs (NEG_CAP sentinel in masked slots)."""
+    qp = scores.shape[0]
+    kb = bidx.shape[1]
+    nb = db_hi.shape[0] // BLOCK
+    blkmax = jnp.max(scores.reshape(qp, kb, BLOCK), axis=-1)   # [Qp, KB]
+    ksel = min(k + 1, kb)
+    _, cols = ps._topk_finite(blkmax, ksel)                    # probed cols
+    bidx2 = ps._gather_int(bidx, cols)                         # global blocks
+    # padding rows are already excluded by the scan's +inf tlen trick; the
+    # rescore only needs the same exclusion, so reuse a fresh +inf mask
+    pad_inf = jnp.where(perm >= 0, 0.0, np.float32(np.inf)).reshape(nb, BLOCK)
+    qcap = jnp.full((qp,), np.float32(3e38), jnp.float32)
+    if interpret:
+        s2 = ps.gather_block_scores(qf, db_hi, pad_inf, qcap, bidx2,
+                                    db_hi.shape[0], use_len=True,
+                                    interpret=True)
+    else:
+        s2 = ps.gather_block_scores_dma(qf, db_hi, pad_inf, qcap, bidx2,
+                                        db_hi.shape[0], use_len=True)
+    kbp = s2.shape[1] // BLOCK
+    if kbp != bidx2.shape[1]:
+        bidx2 = jnp.pad(bidx2, ((0, 0), (0, kbp - bidx2.shape[1])),
+                        constant_values=-1)
+    return s2, bidx2
+
+
 def _probe_and_select(q, db_perm, perm, bidx, k, tlen, qlen, mincov, use_len,
-                      interpret, scales=None, dedup=False):
+                      interpret, scales=None, dedup=False, rerank_hi=None,
+                      q_hi=None):
     """Gather the probed blocks, exact top-k of the probed candidates.
 
     scales: [Npad] f32 block-uniform dequant scales when db_perm is int8
     (quantize_blocks over the PERMUTED layout); queries must then be int8
     too, and the caller applies the per-query scale to the returned values.
+    rerank_hi: optional f32 [Npad, D] sidecar in the SAME permuted layout;
+    when set, the top-(k+1) blocks by scan score are rescored in f32
+    against q_hi (defaults to q) and the returned values/ranking are the
+    exact f32 scores (see _rerank_blocks) — no caller-side dequant rescale
+    is then needed even for int8 scans.
     Returns (scores [Q,k] f32, ORIGINAL row indices [Q,k] i32, -1 misses).
     """
     qn = q.shape[0]
@@ -372,6 +421,10 @@ def _probe_and_select(q, db_perm, perm, bidx, k, tlen, qlen, mincov, use_len,
     if qp != qn:
         q = jnp.pad(q, ((0, qp - qn), (0, 0)))
         bidx = jnp.pad(bidx, ((0, qp - qn), (0, 0)), constant_values=-1)
+    if rerank_hi is not None:
+        q_hi = jnp.asarray(q if q_hi is None else q_hi, jnp.float32)
+        if q_hi.shape[0] != qp:
+            q_hi = jnp.pad(q_hi, ((0, qp - q_hi.shape[0]), (0, 0)))
 
     # padding rows (perm == -1) are excluded through the gather kernel's
     # length filter: their tlen is +inf, which no finite qcap admits — a
@@ -408,6 +461,17 @@ def _probe_and_select(q, db_perm, perm, bidx, k, tlen, qlen, mincov, use_len,
             q, db_perm, tl2d, qcap, bidx.astype(jnp.int32),
             db_perm.shape[0], use_len=True, quantized=scales is not None,
             scale_sel=scale_sel)
+    if rerank_hi is not None:
+        # exact f32 re-rank of the top-(k+1) scanned blocks: selection and
+        # values below use the rescored matrix instead of the scan's
+        if scores.shape[1] // BLOCK != bidx.shape[1]:
+            bidx = jnp.pad(
+                bidx, ((0, 0), (0, scores.shape[1] // BLOCK - bidx.shape[1])),
+                constant_values=-1)
+        scores, bidx = _rerank_blocks(q_hi, rerank_hi, scores,
+                                      bidx.astype(jnp.int32), perm, k,
+                                      interpret)
+    kbp = bidx.shape[1]
     ridx = (bidx[:, :, None] * BLOCK
             + np.arange(BLOCK)[None, None, :]).reshape(qp, kbp * BLOCK)
     if scores.shape[1] != ridx.shape[1]:
@@ -490,7 +554,7 @@ def build_mesh_ivf_search(mesh, k: int, nprobe: int, use_len: bool,
                                    "dedup"))
 def ivf_search(q, db_perm, centroids, perm, k, nprobe, tlen=None, qlen=None,
                mincov=0.0, use_len=False, interpret=False, scales=None,
-               q8=None, dedup=False):
+               q8=None, dedup=False, rerank_hi=None, q_hi=None):
     """Approximate top-k: probe nprobe clusters, exact top-k of the probed.
 
     q [Q,D] f32/bf16 (drives the centroid probe), db_perm [Npad,D]
@@ -500,17 +564,26 @@ def ivf_search(q, db_perm, centroids, perm, k, nprobe, tlen=None, qlen=None,
     int8 DBs: pass scales (block-uniform over the permuted layout) AND q8
     (quantize_rows int8 queries) — the full-precision q still ranks the
     centroids, identically to the mesh path; values then need the caller's
-    per-query rescale.
+    per-query rescale (not with rerank_hi: rescored values are already f32).
     dedup=True is REQUIRED for layouts built with expand > 0 (the dict's
     "dup" flag): multi-assigned rows are reported once.
+    rerank_hi: optional f32 [Npad, D] sidecar in the SAME permuted layout —
+    the top-(k+1) blocks by scan score are rescored in exact f32 against
+    q_hi (the caller's UNROUNDED f32 queries; defaults to upcasting q,
+    which removes only db-side noise), eliminating the storage-dtype
+    ranking noise that otherwise caps recall (~0.98 bf16 / ~0.95 int8; see
+    _rerank_blocks). Costs ~one extra f32 (k+1)-block gather per query.
     Returns (scores [Q,k] f32, ORIGINAL indices [Q,k] i32, -1 for misses).
     """
     nlist = centroids.shape[0]
     c_rows = db_perm.shape[0] // nlist
     bidx = _probe_blocks(q, centroids, nprobe, c_rows // BLOCK)
+    if rerank_hi is not None and q_hi is None:
+        q_hi = q.astype(jnp.float32)
     return _probe_and_select(q8 if q8 is not None else q, db_perm, perm,
                              bidx, k, tlen, qlen, mincov,
-                             use_len, interpret, scales=scales, dedup=dedup)
+                             use_len, interpret, scales=scales, dedup=dedup,
+                             rerank_hi=rerank_hi, q_hi=q_hi)
 
 
 # -- disk-streaming IVF -------------------------------------------------------

@@ -20,6 +20,15 @@
 #   --data DIR      database directory (default PREFIX/dbs)
 #   --weights DIR   directory holding trained reference weights to wire up:
 #                   FINAL_foldclass_model.pt and/or weights_part_{0,1,2}.pt
+#   --weights-from-upstream
+#                   clone the public upstream repo (psipred/merizo_search,
+#                   which carries the trained split weights in-tree) into
+#                   PREFIX/upstream, wire its weights_part_{0,1,2}.pt +
+#                   FINAL_foldclass_model.pt, and run the real-weights
+#                   acceptance gate (tests/test_reference_acceptance.py:
+#                   the reference's published example hit counts) as the
+#                   post-install smoke — a one-command path from bare host
+#                   to a PASSED acceptance. Needs network + git.
 #   --tpu           also install jax[tpu] from the libtpu release index
 #   --systemd       write + enable a merizo-tpu.service systemd unit
 #                   (requires the DB; unit is always *generated* under PREFIX)
@@ -47,6 +56,8 @@ SERVE_DB=""
 PORT=8086
 MESH=0
 OFFLINE=0
+UPSTREAM_WEIGHTS=0
+UPSTREAM_URL=${MERIZO_UPSTREAM_URL:-https://github.com/psipred/merizo_search}
 
 while [ "$#" -gt 0 ]; do
     case "$1" in
@@ -61,6 +72,7 @@ while [ "$#" -gt 0 ]; do
         --port)     PORT=$2; shift 2 ;;
         --mesh)     MESH=$2; shift 2 ;;
         --offline)  OFFLINE=1; shift ;;
+        --weights-from-upstream) UPSTREAM_WEIGHTS=1; shift ;;
         -h|--help)  sed -n '2,40p' "$0" | sed 's/^# \{0,1\}//'; exit 0 ;;
         *) echo "unknown option: $1 (try --help)" >&2; exit 2 ;;
     esac
@@ -113,6 +125,40 @@ log "package OK: $("$VENV/bin/merizo-tpu" --version 2>&1)"
 
 # 3. trained weights (optional; the models run with seeded random weights
 # when absent, which segments/search but is only useful for smoke tests)
+#
+# --weights-from-upstream: fetch the real checkpoints from the public
+# upstream repository, which ships the 3-way-split Merizo weights and the
+# Foldclass model in-tree (reference predict.py:117-140 merges the split;
+# reference ansible_installer clones the same repo). A shallow clone is
+# enough; re-runs reuse it.
+if [ "$UPSTREAM_WEIGHTS" = 1 ]; then
+    if [ "$OFFLINE" = 1 ]; then
+        echo "--weights-from-upstream conflicts with --offline" >&2; exit 2
+    fi
+    UP=$PREFIX/upstream
+    if [ ! -d "$UP/.git" ]; then
+        log "cloning upstream weights repo: $UPSTREAM_URL"
+        git clone --depth 1 "$UPSTREAM_URL" "$UP"
+    else
+        log "reusing upstream clone at $UP (git -C $UP pull to refresh)"
+    fi
+    UPW=$PREFIX/weights-upstream
+    mkdir -p "$UPW"
+    # weight files live under merizo_search/programs/... in-tree; locate by
+    # name so upstream reorganisations don't break the wiring
+    find "$UP" -name 'weights_part_*.pt' -exec cp -f {} "$UPW/" \;
+    find "$UP" -name 'FINAL_foldclass_model.pt' -exec cp -f {} "$UPW/" \;
+    ls "$UPW"/weights_part_*.pt >/dev/null 2>&1 || {
+        echo "upstream clone has no weights_part_*.pt — repo layout changed?" >&2
+        exit 1; }
+    [ -f "$UPW/FINAL_foldclass_model.pt" ] || {
+        echo "upstream clone has no FINAL_foldclass_model.pt" >&2; exit 1; }
+    WEIGHTS=$UPW
+    # example DBs for the acceptance gate (toy CATH .pt/.index + the
+    # ted100_9606_small side files), if the clone carries them
+    UPDB=$(dirname "$(find "$UP" -name 'cath*.index' -print -quit 2>/dev/null)" \
+           2>/dev/null || true)
+fi
 WFLAGS=()
 if [ -n "$WEIGHTS" ]; then
     mkdir -p "$PREFIX/weights"
@@ -129,6 +175,32 @@ if [ -n "$WEIGHTS" ]; then
         found=1
     fi
     [ "$found" = 1 ] || log "WARNING: no recognised weight files in $WEIGHTS"
+fi
+
+# 3b. real-weights acceptance gate (the post-install smoke when upstream
+# weights were fetched): re-runs the reference's published example numbers
+# (12/17/7/28 hits, 2/1/2 domains — reference examples/README.md:3-20)
+# through THIS pipeline. A PASS certifies the install end-to-end: weight
+# conversion, segmentation, embedding, scan, TM-align, writers.
+if [ "$UPSTREAM_WEIGHTS" = 1 ]; then
+    ACC_DB=${UPDB:-}
+    # prefer an examples/database dir with the cath.pt symlink layout
+    CAND=$(find "$PREFIX/upstream" -type d -path '*examples/database' -print -quit 2>/dev/null || true)
+    [ -n "$CAND" ] && ACC_DB=$CAND
+    if [ -z "$ACC_DB" ] || [ ! -e "$ACC_DB/cath.pt" ]; then
+        log "WARNING: upstream clone lacks the example DBs; acceptance gate"
+        log "         will SKIP its db-dependent cases"
+    fi
+    log "running real-weights acceptance gate"
+    if ! (cd "$SOURCE" && \
+          MERIZO_TPU_MERIZO_WEIGHTS="$PREFIX/weights/merizo" \
+          MERIZO_TPU_FOLDCLASS_WEIGHTS="$PREFIX/weights/FINAL_foldclass_model.pt" \
+          MERIZO_TPU_EXAMPLES_DB="${ACC_DB:-/nonexistent}" \
+          "$PY" -m pytest tests/test_reference_acceptance.py -q -rs); then
+        echo "ACCEPTANCE GATE FAILED — install is not certified" >&2
+        exit 1
+    fi
+    log "acceptance gate PASSED"
 fi
 
 # 4. database download (reference: download_dbs.sh; resumes partials)

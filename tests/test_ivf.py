@@ -97,6 +97,40 @@ def test_dedup_full_probe_exact(mixture):
                                    rtol=1e-5)
 
 
+def test_rerank_exact_f32_values_and_recall(mixture):
+    """f32 re-rank sidecar: with a bf16 storage scan, rerank_hi + the
+    caller's f32 queries must (a) return values equal to the exact f32
+    inner products of the returned ids and (b) never lose recall vs the
+    storage-dtype ranking — the scan dtype's rounding noise, not probe
+    misses, is what caps IVF recall (measured ceiling 0.99+ where bf16
+    ranking plateaus ~0.98)."""
+    emb, q = mixture
+    K = 10
+    ivf = build_ivf(emb, nlist=64, seed=1, expand=0.25)
+    dbp_bf = permute_db(emb, ivf, np.dtype("bfloat16"))
+    dbp_f32 = permute_db(emb, ivf, np.float32)
+    s = q @ emb.T
+    ref = np.argsort(-s, axis=1)[:, :K]
+    args = (jnp.asarray(q).astype(jnp.bfloat16), jnp.asarray(dbp_bf),
+            jnp.asarray(ivf["centroids"]), jnp.asarray(ivf["perm"]))
+    _, i0 = ivf_search(*args, K, 16, interpret=True, dedup=True)
+    v1, i1 = ivf_search(*args, K, 16, interpret=True, dedup=True,
+                        rerank_hi=jnp.asarray(dbp_f32), q_hi=jnp.asarray(q))
+
+    def rec(i):
+        i = np.asarray(i)
+        return np.mean([len(set(i[r].tolist()) & set(ref[r].tolist())) / K
+                        for r in range(len(q))])
+
+    assert rec(i1) >= rec(i0)
+    assert rec(i1) >= 0.95
+    v1, i1 = np.asarray(v1), np.asarray(i1)
+    exact = np.take_along_axis(s, i1, axis=1)
+    np.testing.assert_allclose(v1, exact, atol=2e-5)
+    for r in range(len(q)):
+        assert len(set(i1[r].tolist())) == K  # dedup still holds post-rerank
+
+
 def test_multi_assignment_improves_recall(mixture):
     """The point of expand>0: strictly better (or equal) recall at equal
     nprobe on clustered data."""
