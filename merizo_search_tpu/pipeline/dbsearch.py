@@ -70,7 +70,7 @@ def run_dbsearch(inputs, db_name: str, topk: int = 1, fastmode: bool = False,
                  engine: SearchEngine | None = None,
                  tmalign_backend: str = "auto", threads: int = 0,
                  precision: str = "bf16", search_index: str = "flat",
-                 nprobe: int = 32, nlist: int = 0,
+                 nprobe: int = 32, nlist: int = 0, ivf_rerank: bool = False,
                  mmap_cov_filter: bool = False):
     """Search queries against a database.
 
@@ -97,7 +97,8 @@ def run_dbsearch(inputs, db_name: str, topk: int = 1, fastmode: bool = False,
                  "int8": jnp.int8}[precision]
         engine = SearchEngine(db, mesh=mesh, stream_block=search_batchsize,
                               dtype=dtype, index=search_index,
-                              ivf_nlist=nlist, ivf_nprobe=nprobe)
+                              ivf_nlist=nlist, ivf_nprobe=nprobe,
+                              ivf_rerank=ivf_rerank)
     db = engine.db
     use_cov_filters = db.kind == "pt" or mmap_cov_filter
 

@@ -357,7 +357,7 @@ def _dedup_topk(v, idx, k):
     return out_v, out_i
 
 
-def _rerank_blocks(qf, db_hi, scores, bidx, perm, k, interpret):
+def _rerank_blocks(qf, db_hi, scores, bidx, tl2d, qcap, k, interpret):
     """Exact re-rank: rescore the top-(k+1) scanned blocks in full precision.
 
     The scan ranks candidates in the storage dtype (bf16/int8), whose
@@ -367,8 +367,10 @@ def _rerank_blocks(qf, db_hi, scores, bidx, perm, k, interpret):
     probed blocks `bidx` [Qp, KB], selects the top-(k+1) blocks per query by
     block max (the scan-score analogue of the flat scan's phase-B cover),
     re-gathers ONLY those blocks from the f32 sidecar `db_hi` [Npad, D] and
-    rescores them against the f32 query — so the final ranking is exact f32
-    over every block that could hold a storage-dtype top-k candidate.
+    rescores them against the f32 query under the scan's own tl2d/qcap
+    masks — so the final ranking is exact f32 over every block that could
+    hold a storage-dtype top-k candidate, excluding exactly the rows the
+    scan excluded (padding and, under use_len, mincov-filtered rows).
 
     Cost: ~(k+1) extra f32 block gathers per query (4 bytes/elem vs the
     scan's 1-2), roughly doubling gather traffic at nprobe=16; the IVF curve
@@ -377,21 +379,19 @@ def _rerank_blocks(qf, db_hi, scores, bidx, perm, k, interpret):
     scan's outputs (NEG_CAP sentinel in masked slots)."""
     qp = scores.shape[0]
     kb = bidx.shape[1]
-    nb = db_hi.shape[0] // BLOCK
     blkmax = jnp.max(scores.reshape(qp, kb, BLOCK), axis=-1)   # [Qp, KB]
     ksel = min(k + 1, kb)
     _, cols = ps._topk_finite(blkmax, ksel)                    # probed cols
     bidx2 = ps._gather_int(bidx, cols)                         # global blocks
-    # padding rows are already excluded by the scan's +inf tlen trick; the
-    # rescore only needs the same exclusion, so reuse a fresh +inf mask
-    pad_inf = jnp.where(perm >= 0, 0.0, np.float32(np.inf)).reshape(nb, BLOCK)
-    qcap = jnp.full((qp,), np.float32(3e38), jnp.float32)
+    # tl2d/qcap are the scan's own masks (padding rows' +inf and, under
+    # use_len, the mincov length filter): the rescore must exclude exactly
+    # the rows the scan excluded, or filtered rows would resurface here
     if interpret:
-        s2 = ps.gather_block_scores(qf, db_hi, pad_inf, qcap, bidx2,
+        s2 = ps.gather_block_scores(qf, db_hi, tl2d, qcap, bidx2,
                                     db_hi.shape[0], use_len=True,
                                     interpret=True)
     else:
-        s2 = ps.gather_block_scores_dma(qf, db_hi, pad_inf, qcap, bidx2,
+        s2 = ps.gather_block_scores_dma(qf, db_hi, tl2d, qcap, bidx2,
                                         db_hi.shape[0], use_len=True)
     kbp = s2.shape[1] // BLOCK
     if kbp != bidx2.shape[1]:
@@ -469,7 +469,7 @@ def _probe_and_select(q, db_perm, perm, bidx, k, tlen, qlen, mincov, use_len,
                 bidx, ((0, 0), (0, scores.shape[1] // BLOCK - bidx.shape[1])),
                 constant_values=-1)
         scores, bidx = _rerank_blocks(q_hi, rerank_hi, scores,
-                                      bidx.astype(jnp.int32), perm, k,
+                                      bidx.astype(jnp.int32), tl2d, qcap, k,
                                       interpret)
     kbp = bidx.shape[1]
     ridx = (bidx[:, :, None] * BLOCK
@@ -494,7 +494,8 @@ def _probe_and_select(q, db_perm, perm, bidx, k, tlen, qlen, mincov, use_len,
 
 def build_mesh_ivf_search(mesh, k: int, nprobe: int, use_len: bool,
                           mincov: float, interpret: bool = False,
-                          quantized: bool = False, dedup: bool = False):
+                          quantized: bool = False, dedup: bool = False,
+                          rerank: bool = False):
     """Mesh-sharded IVF: clusters sharded over the mesh axis.
 
     Each device holds nlist/ndev contiguous clusters of the permuted DB.
@@ -508,6 +509,12 @@ def build_mesh_ivf_search(mesh, k: int, nprobe: int, use_len: bool,
     pre-quantised int8 queries q8 (quantize_rows; the f32 q still drives the
     centroid probe). The caller applies the per-query scale to the merged
     values — per-shard ranking is scale-invariant per query.
+
+    rerank=True additionally takes an f32 sidecar shard (same permuted
+    layout as db_shard): each device rescores its top-(k+1) probed blocks
+    in exact f32 against the f32 queries before the merge (see
+    _rerank_blocks) — merged values are then exact f32 inner products and
+    need NO caller-side dequant rescale even when quantized.
     """
     from .engine import _shard_map_unchecked
     from jax.sharding import PartitionSpec as P
@@ -516,7 +523,7 @@ def build_mesh_ivf_search(mesh, k: int, nprobe: int, use_len: bool,
     axis = mesh.axis_names[0]
 
     def local_fn(q, q8, db_shard, centroids, tl_shard, perm_shard, qlen,
-                 scale_shard):
+                 scale_shard, hi_shard):
         nd = jax.lax.axis_size(axis)
         me = jax.lax.axis_index(axis)
         nlist = centroids.shape[0]
@@ -525,11 +532,17 @@ def build_mesh_ivf_search(mesh, k: int, nprobe: int, use_len: bool,
         bpc = c_rows // BLOCK
         bidx = _probe_blocks(q, centroids, nprobe, bpc,
                              nlist_local=nlist_local, me=me)
-        v, idx = _probe_and_select(q8 if quantized else q, db_shard,
+        # scan query in the storage dtype; with rerank the engine keeps q
+        # f32 so q_hi is the caller's unrounded query
+        scan_q = q8 if quantized else q.astype(db_shard.dtype)
+        v, idx = _probe_and_select(scan_q, db_shard,
                                    perm_shard, bidx, k,
                                    tl_shard, qlen, mincov, use_len, interpret,
                                    scales=scale_shard if quantized else None,
-                                   dedup=dedup)
+                                   dedup=dedup,
+                                   rerank_hi=hi_shard if rerank else None,
+                                   q_hi=q.astype(jnp.float32)
+                                   if rerank else None)
         av = jax.lax.all_gather(v, axis)
         ai = jax.lax.all_gather(idx, axis)
         if dedup:
@@ -544,7 +557,7 @@ def build_mesh_ivf_search(mesh, k: int, nprobe: int, use_len: bool,
     fn = _shard_map_unchecked(
         local_fn, mesh=mesh,
         in_specs=(P(None, None), P(None, None), P(axis, None), P(None, None),
-                  P(axis), P(axis), P(None), P(axis)),
+                  P(axis), P(axis), P(None), P(axis), P(axis, None)),
         out_specs=(P(None, None), P(None, None)),
     )
     return jax.jit(fn)

@@ -120,7 +120,7 @@ class SearchService:
     def __init__(self, db_name: str, mesh=None, precision: str = "bf16",
                  weights: str | None = None, merizo_weights: str | None = None,
                  tmalign_backend: str = "auto", search_index: str = "flat",
-                 nprobe: int = 32, nlist: int = 0,
+                 nprobe: int = 32, nlist: int = 0, ivf_rerank: bool = False,
                  max_batch: int = 64, batch_window_ms: float = 4.0):
         import jax.numpy as jnp
 
@@ -134,7 +134,7 @@ class SearchService:
         self.db = FlatDB.open(db_name)
         self.engine = SearchEngine(self.db, mesh=mesh, dtype=dtype,
                                    index=search_index, ivf_nlist=nlist,
-                                   ivf_nprobe=nprobe)
+                                   ivf_nprobe=nprobe, ivf_rerank=ivf_rerank)
         self.fc_params = load_foldclass_params(weights)
         self.mz_params = load_merizo_params(merizo_weights)
         self.tmalign_backend = tmalign_backend

@@ -190,6 +190,57 @@ def test_engine_ivf_mode(tmp_path, rng, mixture):
     assert rec > 0.9
 
 
+def test_engine_ivf_rerank(tmp_path, rng, mixture):
+    """Engine-level rerank: recall must not drop vs the plain IVF engine
+    and the returned values must be the exact f32 scores of the ids."""
+    from merizo_search_tpu.db import codecs
+    from merizo_search_tpu.search.engine import SearchEngine
+
+    emb, q = mixture
+    entries = [(f"d{i}", rng.normal(size=(50, 3)).astype(np.float32), "A" * 50)
+               for i in range(len(emb))]
+    prefix = str(tmp_path / "db")
+    codecs.write_pt_db(prefix, emb, entries)
+    eng = SearchEngine(codecs.FlatDB.open(prefix), index="ivf",
+                       ivf_nlist=64, ivf_nprobe=16, ivf_rerank=True)
+    vals, idxs = eng.search(q, k=5)
+    s = q @ emb.T
+    ref = np.argsort(-s, axis=1)[:, :5]
+    rec = np.mean([len(set(idxs[r]) & set(ref[r])) / 5 for r in range(len(q))])
+    assert rec > 0.9
+    exact = np.take_along_axis(s, np.asarray(idxs), axis=1)
+    np.testing.assert_allclose(np.asarray(vals), exact, atol=2e-5)
+
+
+def test_engine_mesh_ivf_rerank(tmp_path, mixture):
+    """Mesh-sharded rerank on the virtual 8-device CPU mesh: same recall
+    and exact-f32-value contract as the single-device path."""
+    import jax
+    from jax.sharding import Mesh
+
+    from merizo_search_tpu.db import codecs
+    from merizo_search_tpu.search.engine import SearchEngine
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    rng = np.random.default_rng(5)
+    emb, q = mixture
+    entries = [(f"d{i}", rng.normal(size=(50, 3)).astype(np.float32), "A" * 50)
+               for i in range(len(emb))]
+    prefix = str(tmp_path / "db")
+    codecs.write_pt_db(prefix, emb, entries)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("d",))
+    eng = SearchEngine(codecs.FlatDB.open(prefix), mesh=mesh, index="ivf",
+                       ivf_nlist=64, ivf_nprobe=16, ivf_rerank=True)
+    vals, idxs = eng.search(q, k=5)
+    s = q @ emb.T
+    ref = np.argsort(-s, axis=1)[:, :5]
+    rec = np.mean([len(set(idxs[r]) & set(ref[r])) / 5 for r in range(len(q))])
+    assert rec > 0.9
+    exact = np.take_along_axis(s, np.asarray(idxs), axis=1)
+    np.testing.assert_allclose(np.asarray(vals), exact, atol=2e-5)
+
+
 def test_mesh_ivf_matches_single_device(mixture):
     """Mesh-sharded IVF must return identical results to single-device
     ivf_search with the same build (same probe set, exact top-k of probed)."""
@@ -211,13 +262,15 @@ def test_mesh_ivf_matches_single_device(mixture):
     fn = build_mesh_ivf_search(mesh, K, NPROBE, use_len=False, mincov=0.0,
                                interpret=True)
     tl = jnp.zeros(len(perm), jnp.float32)
+    dbp_sh = jax.device_put(dbp, NamedSharding(mesh, P("d", None)))
     vm, im = fn(jnp.asarray(q), jnp.asarray(q),  # q8 slot unused when flat
-                jax.device_put(dbp, NamedSharding(mesh, P("d", None))),
+                dbp_sh,
                 jnp.asarray(ivf["centroids"]),
                 jax.device_put(tl, NamedSharding(mesh, P("d"))),
                 jax.device_put(perm, NamedSharding(mesh, P("d"))),
                 jnp.zeros(len(q), jnp.float32),
-                jax.device_put(tl, NamedSharding(mesh, P("d"))))  # dummy scales
+                jax.device_put(tl, NamedSharding(mesh, P("d"))),  # dummy scales
+                dbp_sh)                                  # dummy rerank shard
     np.testing.assert_allclose(np.asarray(vm), np.asarray(v1), atol=1e-5)
     np.testing.assert_array_equal(np.asarray(im), np.asarray(i1))
 

@@ -62,32 +62,45 @@ interp = jax.default_backend() != "tpu"
 s = q.astype(np.float64) @ emb.T.astype(np.float64)
 ref = np.argsort(-s, axis=1)[:, :K]
 
+# f32 rerank sidecar (exact rescore of the top-(k+1) scanned blocks):
+# removes the storage-dtype ranking noise that otherwise caps recall at
+# ~0.98 (bf16). Sized N*D*4 bytes; the qps column states its cost.
+dbp_hi = jax.device_put(jnp.asarray(ivf_mod.permute_db(emb, ivf, np.float32)))
+dq_hi = jax.device_put(jnp.asarray(q))
+
 points = []
 for nprobe in (4, 8, 16, 32, 64, 128):
     if nprobe > nlist:
         break
-    v, idx = ivf_mod.ivf_search(dq, dbp, cent, perm, K, nprobe,
-                                interpret=interp, dedup=dedup)
-    idx = np.asarray(idx)
-    recall = float(np.mean([len(set(idx[r]) & set(ref[r])) / K
-                            for r in range(Q)]))
+    row = {"nprobe": nprobe,
+           "db_fraction_probed": round(nprobe / nlist, 4)}
+    for tag, kw in (("", {}), ("rerank_", {"rerank_hi": dbp_hi,
+                                           "q_hi": dq_hi})):
+        v, idx = ivf_mod.ivf_search(dq, dbp, cent, perm, K, nprobe,
+                                    interpret=interp, dedup=dedup, **kw)
+        idx = np.asarray(idx)
+        recall = float(np.mean([len(set(idx[r]) & set(ref[r])) / K
+                                for r in range(Q)]))
 
-    def probe_fn(i, dq, dbp, cent, perm):
-        qq = jnp.roll(dq, i, axis=0)
-        v, ix = ivf_mod.ivf_search(qq, dbp, cent, perm, K, nprobe,
-                                   interpret=interp, dedup=dedup)
-        return jnp.sum(v) + jnp.sum(ix[:, 0].astype(jnp.float32))
+        def probe_fn(i, dq, dbp, cent, perm, kw=kw):
+            qq = jnp.roll(dq, i, axis=0)
+            v, ix = ivf_mod.ivf_search(qq, dbp, cent, perm, K, nprobe,
+                                       interpret=interp, dedup=dedup, **kw)
+            return jnp.sum(v) + jnp.sum(ix[:, 0].astype(jnp.float32))
 
-    # steady state: one extra warm sweep beyond bench's own compile+warm
-    # round (the r3 curve showed nprobe=4 slower than 8 — warmup noise)
-    t = min(bench(probe_fn, dq, dbp, cent, perm, rep=16),
-            bench(probe_fn, dq, dbp, cent, perm, rep=16))
-    qps = Q / t
-    frac = nprobe / nlist
-    points.append({"nprobe": nprobe, "recall_at_100": round(recall, 4),
-                   "qps": round(qps, 1), "db_fraction_probed": round(frac, 4)})
-    print(f"nprobe={nprobe:4d}  recall@100={recall:.4f}  qps={qps:9.1f}  "
-          f"({frac*100:.1f}% of DB probed)")
+        # steady state: one extra warm sweep beyond bench's own
+        # compile+warm round (the r3 curve showed nprobe=4 slower than 8 —
+        # warmup noise)
+        t = min(bench(probe_fn, dq, dbp, cent, perm, rep=16),
+                bench(probe_fn, dq, dbp, cent, perm, rep=16))
+        qps = Q / t
+        row[tag + "recall_at_100"] = round(recall, 4)
+        row[tag + "qps"] = round(qps, 1)
+    points.append(row)
+    print(f"nprobe={nprobe:4d}  recall@100={row['recall_at_100']:.4f}  "
+          f"qps={row['qps']:9.1f}  rerank: {row['rerank_recall_at_100']:.4f}"
+          f" @ {row['rerank_qps']:9.1f}  "
+          f"({row['db_fraction_probed']*100:.1f}% of DB probed)")
 
 out = {
     "config": {"N": N, "D": D, "nlist": nlist, "k": K, "q_batch": Q,
@@ -95,6 +108,7 @@ out = {
                "dtype": str(dtype.__name__), "backend": jax.default_backend(),
                "data": f"mixture of {NCENTERS} gaussian clusters, unit-norm",
                "build_seconds": round(build_s, 1),
+               "rerank": "f32 sidecar (N*D*4 bytes) rescoring the top-(k+1) scanned blocks exactly",
                "memory_bound": "device-resident only: permuted DB must fit "
                                "the mesh HBM budget (engine gates with an "
                                "error otherwise)"},

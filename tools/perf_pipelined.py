@@ -1,6 +1,13 @@
 """Exactness + throughput of the two-batch pipelined scan (fused_topk_step)
 vs the sequential fused_topk, on the live chip.
 
+MEASURED RESULT (v5e, 16M x 128): the fusion is bit-exact but SLOWER than
+the sequential dispatch — Q=64 bf16 6.47 vs 6.32 ms, Q=256 bf16 10.5 vs
+8.1 ms, Q=256 int8 6.2 vs 5.2 ms. Root cause isolated (see
+_bm_gather_kernel's STATUS note): ~13 us of scalar-core DMA issue/wait
+work per previous-batch query serialises inside the streaming kernel.
+The sequential fused_topk stays the production path.
+
 Usage: python tools/perf_pipelined.py [log2_rows] [bf16|int8|both] [Q,Q...]
 """
 
