@@ -178,13 +178,20 @@ def _fix_positional_tail(args) -> None:
 
 
 def _apply_device(device: str | None):
-    if device:
+    # No -d flag: honour a JAX_PLATFORMS env override through the config
+    # API. On images whose sitecustomize registers an out-of-tree TPU
+    # plugin at interpreter start, the env var alone DEADLOCKS backend
+    # init (plugin discovery still contacts the device tunnel), while the
+    # config-API override is applied cleanly before first backend use —
+    # the same trick tests/conftest.py uses.
+    plat = device or os.environ.get("JAX_PLATFORMS") or None
+    if plat:
         import jax
-        plat = {"cuda": "tpu", "mps": "cpu"}.get(device, device)
+        plat = {"cuda": "tpu", "mps": "cpu"}.get(plat, plat)
         try:
             jax.config.update("jax_platforms", plat)
         except Exception:
-            logger.warning("could not select platform %r; using default", device)
+            logger.warning("could not select platform %r; using default", plat)
 
 
 def _mesh(n: int):

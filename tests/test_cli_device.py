@@ -1,0 +1,32 @@
+"""CLI platform selection.
+
+On images whose sitecustomize registers an out-of-tree TPU plugin at
+interpreter start, setting JAX_PLATFORMS=cpu in the environment alone
+deadlocks JAX backend init (plugin discovery still contacts the device
+tunnel), while updating the config API before first backend use works.
+The CLI therefore mirrors the env override through jax.config — the same
+trick tests/conftest.py uses. These tests pin that mirroring logic.
+"""
+
+import jax
+
+from merizo_search_tpu import cli
+
+
+def test_apply_device_mirrors_env(monkeypatch):
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    cli._apply_device(None)
+    assert jax.config.jax_platforms == "cpu"
+
+
+def test_apply_device_flag_wins_over_env(monkeypatch):
+    monkeypatch.setenv("JAX_PLATFORMS", "nonexistent-platform")
+    cli._apply_device("cpu")
+    assert jax.config.jax_platforms == "cpu"
+
+
+def test_apply_device_reference_aliases(monkeypatch):
+    # the reference's -d vocabulary: cuda -> accelerator, mps -> cpu
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    cli._apply_device("mps")
+    assert jax.config.jax_platforms == "cpu"
