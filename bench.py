@@ -522,7 +522,7 @@ def easy_search_benchmark(configs):
 
     from merizo_search_tpu.db.codecs import FlatDB
     from merizo_search_tpu.io.results import (
-        write_search_results, write_segment_results)
+        SEARCH_FIELDS, write_search_results, write_segment_results)
     from merizo_search_tpu.models.merizo.network import load_merizo_params
     from merizo_search_tpu.pipeline.dbsearch import run_dbsearch
     from merizo_search_tpu.pipeline.embed import load_foldclass_params
@@ -543,12 +543,14 @@ def easy_search_benchmark(configs):
         results, _ = run_dbsearch(domains, prefix, topk=10, mincos=-1.0,
                                   inputs_are_ca=True, params=fc_params,
                                   engine=engine)
-        write_search_results(results, out + "_search.tsv")
+        write_search_results(results, out + "_search.tsv",
+                             SEARCH_FIELDS.split(","))
 
     run_warm(inputs[0][0], "warmwarm")
     per, phases = {}, {}
     for fname, nres in inputs:
-        profiling.reset()
+        run_warm(fname, f"w{nres}")   # compile this shape's buckets first so
+        profiling.reset()             # the phase averages time serving only
         t = min(_timed(lambda: run_warm(fname, f"t{nres}"))
                 for _ in range(3))
         per[str(nres)] = round(t, 3)
