@@ -12,6 +12,7 @@ picks (TPU via axon here; CPU works for recall, qps is then meaningless).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -22,6 +23,14 @@ sys.path.insert(0, "/root/repo/tools")
 
 import jax
 import jax.numpy as jnp
+
+# persistent compile cache: a rerun after a tunnel hiccup skips straight to
+# where it died instead of re-paying every remote compile
+_cache = os.environ.get("MERIZO_TPU_CACHE",
+                        os.path.expanduser("~/.cache/merizo_tpu/jax"))
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from _bench_util import bench
 from merizo_search_tpu.search import ivf as ivf_mod
@@ -68,6 +77,19 @@ ref = np.argsort(-s, axis=1)[:, :K]
 dbp_hi = jax.device_put(jnp.asarray(ivf_mod.permute_db(emb, ivf, np.float32)))
 dq_hi = jax.device_put(jnp.asarray(q))
 
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("nprobe", "rerank"))
+def _search(dq, dbp, cent, perm, dbph, dqh, nprobe, rerank):
+    # one jitted program per (nprobe, rerank): the eager path dispatches
+    # hundreds of ops individually through the ~25 ms tunnel (minutes per
+    # point, and long eager streaks have wedged the compile relay)
+    kw = {"rerank_hi": dbph, "q_hi": dqh} if rerank else {}
+    return ivf_mod.ivf_search(dq, dbp, cent, perm, K, nprobe,
+                              interpret=interp, dedup=dedup, **kw)
+
+
 points = []
 for nprobe in (4, 8, 16, 32, 64, 128):
     if nprobe > nlist:
@@ -76,23 +98,27 @@ for nprobe in (4, 8, 16, 32, 64, 128):
            "db_fraction_probed": round(nprobe / nlist, 4)}
     for tag, kw in (("", {}), ("rerank_", {"rerank_hi": dbp_hi,
                                            "q_hi": dq_hi})):
-        v, idx = ivf_mod.ivf_search(dq, dbp, cent, perm, K, nprobe,
-                                    interpret=interp, dedup=dedup, **kw)
+        v, idx = _search(dq, dbp, cent, perm, dbp_hi, dq_hi, nprobe,
+                         rerank=bool(kw))
         idx = np.asarray(idx)
         recall = float(np.mean([len(set(idx[r]) & set(ref[r])) / K
                                 for r in range(Q)]))
 
-        def probe_fn(i, dq, dbp, cent, perm, kw=kw):
+        # CRITICAL: the f32 sidecar must be a bench ARG, not a closure
+        # default — jit serialises closed-over device arrays as constants
+        # in the remote compile request, and a 672 MB constant kills the
+        # compile relay (HTTP 413 / broken pipe)
+        def probe_fn(i, dq, dbp, cent, perm, dbph, dqh, rer=bool(kw)):
             qq = jnp.roll(dq, i, axis=0)
-            v, ix = ivf_mod.ivf_search(qq, dbp, cent, perm, K, nprobe,
-                                       interpret=interp, dedup=dedup, **kw)
+            v, ix = _search(qq, dbp, cent, perm, dbph, dqh, nprobe,
+                            rerank=rer)
             return jnp.sum(v) + jnp.sum(ix[:, 0].astype(jnp.float32))
 
         # steady state: one extra warm sweep beyond bench's own
         # compile+warm round (the r3 curve showed nprobe=4 slower than 8 —
         # warmup noise)
-        t = min(bench(probe_fn, dq, dbp, cent, perm, rep=16),
-                bench(probe_fn, dq, dbp, cent, perm, rep=16))
+        t = min(bench(probe_fn, dq, dbp, cent, perm, dbp_hi, dq_hi, rep=16),
+                bench(probe_fn, dq, dbp, cent, perm, dbp_hi, dq_hi, rep=16))
         qps = Q / t
         row[tag + "recall_at_100"] = round(recall, 4)
         row[tag + "qps"] = round(qps, 1)
