@@ -86,7 +86,19 @@ def bench(fn, *args, rep: int = 32, outer: int = 5, inner: int = 1,
             return jax.lax.fori_loop(0, inner, body, jnp.float32(0))
 
     f = jax.jit(fn)
-    _round(f, 2, args)  # compile + warm
+    try:
+        _round(f, 2, args)  # compile + warm
+    except jax.errors.JaxRuntimeError as e:
+        # the tunnel's compile relay occasionally drops a connection
+        # (UNAVAILABLE / broken pipe); one backoff + retry saves the whole
+        # artifact. Anything else (or a second failure) propagates.
+        if not any(s in str(e) for s in ("UNAVAILABLE", "Broken pipe",
+                                         "DEADLINE", "transport")):
+            raise
+        print(f"# bench compile retry after transient relay error: "
+              f"{str(e)[:120]}")
+        time.sleep(30)
+        _round(f, 2, args)
     disp, rtt = _calibrate()
     times = sorted(_round(f, rep, args) for _ in range(outer))
     t = ((times[len(times) // 2] - rtt) / rep - disp) / inner
