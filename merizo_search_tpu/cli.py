@@ -178,13 +178,17 @@ def _fix_positional_tail(args) -> None:
 
 
 def _apply_device(device: str | None):
-    # No -d flag: honour a JAX_PLATFORMS env override through the config
-    # API. On images whose sitecustomize registers an out-of-tree TPU
-    # plugin at interpreter start, the env var alone DEADLOCKS backend
+    # No -d flag: honour a JAX_PLATFORMS=cpu env override through the
+    # config API. On images whose sitecustomize registers an out-of-tree
+    # TPU plugin at interpreter start, the env var alone DEADLOCKS backend
     # init (plugin discovery still contacts the device tunnel), while the
     # config-API override is applied cleanly before first backend use —
-    # the same trick tests/conftest.py uses.
-    plat = device or os.environ.get("JAX_PLATFORMS") or None
+    # the same trick tests/conftest.py uses. ONLY "cpu" is mirrored: images
+    # preset JAX_PLATFORMS to the plugin's own platform name (e.g. "axon"),
+    # which the config API rejects as unknown even though the env-var path
+    # accepts it — mirroring it would break every default-environment run.
+    env = os.environ.get("JAX_PLATFORMS", "").strip().lower()
+    plat = device or ("cpu" if env == "cpu" else None)
     if plat:
         import jax
         plat = {"cuda": "tpu", "mps": "cpu"}.get(plat, plat)

@@ -25,6 +25,16 @@ def test_apply_device_flag_wins_over_env(monkeypatch):
     assert jax.config.jax_platforms == "cpu"
 
 
+def test_apply_device_ignores_plugin_platform_env(monkeypatch):
+    # images preset JAX_PLATFORMS to an out-of-tree plugin name (e.g.
+    # "axon"); the config API rejects unknown names, so mirroring it would
+    # break every default-environment run — it must be left untouched
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    before = jax.config.jax_platforms
+    cli._apply_device(None)
+    assert jax.config.jax_platforms == before
+
+
 def test_apply_device_reference_aliases(monkeypatch):
     # the reference's -d vocabulary: cuda -> accelerator, mps -> cpu
     monkeypatch.delenv("JAX_PLATFORMS", raising=False)
