@@ -63,12 +63,47 @@ def embed_structures(params, coords_list: list[np.ndarray],
     out = np.zeros((n, fc.EMBED_DIM), dtype=np.float32)
     lengths = [min(len(c), MAX_RES) for c in coords_list]
     groups = group_by_bucket(lengths)
+
+    # Small query sets (the easy-search path: a handful of domains spanning
+    # 2-4 length buckets) are dispatch-overhead-bound, not compute-bound —
+    # one [n, maxbucket] batch costs ~1 device call while per-bucket batches
+    # cost one call each. Collapse the buckets whenever the padded pair work
+    # still fits a single dispatch budget; big sweeps (createdb) keep exact
+    # bucketing, where the N^2 padding blowup would dominate.
+    if len(groups) > 1:
+        maxb = max(groups)
+        if n * maxb * maxb <= (1 << 23):
+            groups = {maxb: sorted(i for idxs in groups.values()
+                                   for i in idxs)}
+
+    # Dispatch-then-sync: jax dispatch is async, so issuing every bucket
+    # batch before the first np.asarray sync overlaps the device round
+    # trips (queries usually span 2-4 length buckets, and on a tunneled
+    # chip each serial sync pays the full RTT). In-flight depth is bounded
+    # so a huge createdb sweep doesn't pin every batch in memory at once.
+    max_inflight = 4
+    pending: list[tuple[list[int], object]] = []
+
+    def _drain(limit: int):
+        while len(pending) > limit:
+            sel_d, fut = pending.pop(0)
+            emb = np.asarray(fut)
+            for bi, si in enumerate(sel_d):
+                out[si] = emb[bi]
+
     for bucket, idxs in sorted(groups.items()):
         bsz = batch_budget(bucket) if batch_budget else _batch_budget(bucket) * ndev
         bsz = ((bsz + ndev - 1) // ndev) * ndev
         for i0 in range(0, len(idxs), bsz):
             sel = idxs[i0:i0 + bsz]
-            bpad = ((len(sel) + ndev - 1) // ndev) * ndev  # even device split
+            # pad the batch to a power of two (and an even device split) so
+            # each bucket compiles O(log bsz) shapes — remainder batches and
+            # varying per-query domain counts would otherwise each compile
+            # a fresh (B, bucket) shape (padding rows carry a zero mask)
+            bpad = 1
+            while bpad < len(sel):
+                bpad *= 2
+            bpad = ((bpad + ndev - 1) // ndev) * ndev
             batch = np.zeros((bpad, bucket, 3), np.float32)
             mask = np.zeros((bpad, bucket), np.float32)
             for bi, si in enumerate(sel):
@@ -77,7 +112,7 @@ def embed_structures(params, coords_list: list[np.ndarray],
             if mesh is not None:
                 batch = jax.device_put(batch, sh3)
                 mask = jax.device_put(mask, sh2)
-            emb = np.asarray(fc.embed(params, batch, mask))
-            for bi, si in enumerate(sel):
-                out[si] = emb[bi]
+            pending.append((sel, fc.embed(params, batch, mask)))
+            _drain(max_inflight - 1)
+    _drain(0)
     return out
